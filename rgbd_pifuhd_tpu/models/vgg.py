@@ -1,0 +1,101 @@
+"""VGG16 feature extractor + perceptual (content + style) loss.
+
+Re-design of the reference's Vgg16/VGGLoss (/root/reference/networks.py:
+386-449): the normal-net pretraining loss is
+``content + 1e5 * style`` where content is the MSE between VGG feature maps
+(relu1_2, relu2_2, relu3_3, relu4_3) of prediction and target, and style is
+the MSE between Gram matrices of the prediction's features and a style
+image's features.
+
+Weights: the reference downloads torchvision's pretrained VGG16; this
+environment has no network egress, so ``VGG16Features.load_torch_weights``
+imports them from a local ``.pth``/state-dict file when available.  Without
+pretrained weights, a seeded random init still yields a valid (weaker)
+perceptual metric — random-feature perceptual losses are an established
+fallback; the loss surface is documented as such.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.losses import gram_matrix, mse
+
+# convs per VGG16 block (before each maxpool)
+_BLOCKS = ((64, 64), (128, 128), (256, 256, 256), (512, 512, 512))
+# feature taps: relu1_2, relu2_2, relu3_3, relu4_3
+
+
+class VGG16Features(nn.Module):
+    """First four VGG16 conv blocks; returns the four tap activations."""
+
+    @nn.compact
+    def __call__(self, x):
+        taps = []
+        conv_i = 0
+        for b, widths in enumerate(_BLOCKS):
+            for w in widths:
+                x = nn.Conv(w, (3, 3), padding=1, name=f"conv{conv_i}")(x)
+                x = nn.relu(x)
+                conv_i += 1
+            taps.append(x)
+            if b < len(_BLOCKS) - 1:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        return taps
+
+    @staticmethod
+    def init_params(rng_key=0, image_size: int = 64):
+        m = VGG16Features()
+        return m.init(
+            jax.random.PRNGKey(rng_key),
+            jnp.zeros((1, image_size, image_size, 3)),
+        )
+
+    @staticmethod
+    def load_torch_weights(path: str):
+        """Import torchvision vgg16 ``state_dict`` (features.* keys)."""
+        import torch
+
+        sd = torch.load(path, map_location="cpu")
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        # torchvision layout: features.{0,2,5,7,10,12,14,17,19,21}.weight
+        torch_ids = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21]
+        params = {}
+        for i, tid in enumerate(torch_ids):
+            w = sd[f"features.{tid}.weight"].numpy()  # [out, in, kh, kw]
+            b = sd[f"features.{tid}.bias"].numpy()
+            params[f"conv{i}"] = {
+                "kernel": jnp.asarray(w.transpose(2, 3, 1, 0)),
+                "bias": jnp.asarray(b),
+            }
+        return {"params": params}
+
+
+def make_perceptual_loss(vgg_params, style_weight: float = 1e5):
+    """(target, pred, style_image) -> scalar; parity with VGGLoss.forward.
+
+    All images NHWC in [-1, 1] (the reference feeds normalized tensors
+    straight in; no ImageNet renormalization — parity kept).
+    """
+    vgg = VGG16Features()
+
+    def loss(x, y, style_im):
+        x_f = vgg.apply(vgg_params, x)
+        y_f = vgg.apply(vgg_params, y)
+        s_f = vgg.apply(vgg_params, style_im)
+        content = sum(
+            mse(xf, jax.lax.stop_gradient(yf)) for xf, yf in zip(x_f, y_f)
+        )
+        style = sum(
+            mse(gram_matrix(yf), gram_matrix(sf))
+            for yf, sf in zip(y_f, s_f)
+        )
+        return content + style_weight * style
+
+    return loss

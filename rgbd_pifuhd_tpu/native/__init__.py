@@ -1,0 +1,73 @@
+"""Native (C++) host kernels with transparent build-on-first-use.
+
+The compute path is JAX/XLA on TPU; these are the HOST-side kernels around
+it (SURVEY.md: the reference leans on skimage/trimesh native code for these
+— we ship our own):
+
+- marching.cc — marching tetrahedra isosurface extraction
+
+Built with g++ -O3 into ``_build/`` on first import (no pip), loaded via
+ctypes.  ``load_marching()`` returns None if no compiler is available; the
+NumPy implementation is the fallback.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_BUILD = os.path.join(_HERE, "_build")
+_LOCK = threading.Lock()
+_CACHE: dict = {}
+
+
+def _build_lib(name: str, sources: list[str], extra_flags=()) -> str | None:
+    so_path = os.path.join(_BUILD, f"lib{name}.so")
+    srcs = [os.path.join(_HERE, s) for s in sources]
+    if os.path.exists(so_path) and all(
+        os.path.getmtime(so_path) >= os.path.getmtime(s) for s in srcs
+    ):
+        return so_path
+    os.makedirs(_BUILD, exist_ok=True)
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "-pthread", *extra_flags, *srcs, "-o", so_path,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+    except (subprocess.CalledProcessError, FileNotFoundError,
+            subprocess.TimeoutExpired) as e:
+        msg = getattr(e, "stderr", b"")
+        print(f"[native] build of {name} failed: {e} "
+              f"{msg.decode() if isinstance(msg, bytes) else msg}")
+        return None
+    return so_path
+
+
+def load_marching():
+    """ctypes handle to the marching-tetrahedra kernel, or None."""
+    with _LOCK:
+        if "marching" in _CACHE:
+            return _CACHE["marching"]
+        so = _build_lib("marching", ["marching.cc"])
+        lib = None
+        if so:
+            lib = ctypes.CDLL(so)
+            lib.mt_run.restype = ctypes.c_int
+            lib.mt_run.argtypes = [
+                ctypes.POINTER(ctypes.c_float),   # vol
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # X Y Z
+                ctypes.c_float,                    # thresh
+                ctypes.POINTER(ctypes.c_int8),     # case table
+                ctypes.c_int,                      # n_threads
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.mt_free.argtypes = [ctypes.c_void_p]
+        _CACHE["marching"] = lib
+        return lib

@@ -59,7 +59,9 @@ def _resize_taps(in_size: int, out_size: int, mode: str):
     else:
         raise ValueError(f"unknown resize mode {mode!r}")
     idx = np.clip(idx, 0, in_size - 1)  # border clamp, matches torch
-    return jnp.asarray(idx, jnp.int32), jnp.asarray(w, jnp.float32)
+    # NOTE: return NumPy (not jnp) — this function is lru_cached and may be
+    # called inside a jit trace; caching device arrays would leak tracers.
+    return idx.astype(np.int32), w.astype(np.float32)
 
 
 def _resize_axis(x: jax.Array, out_size: int, axis: int, mode: str) -> jax.Array:
@@ -67,7 +69,7 @@ def _resize_axis(x: jax.Array, out_size: int, axis: int, mode: str) -> jax.Array
     if in_size == out_size and mode == "bilinear":
         return x
     idx, w = _resize_taps(in_size, out_size, mode)
-    gathered = jnp.take(x, idx.reshape(-1), axis=axis)
+    gathered = jnp.take(x, jnp.asarray(idx.reshape(-1)), axis=axis)
     new_shape = list(x.shape)
     new_shape[axis : axis + 1] = [out_size, idx.shape[1]]
     gathered = gathered.reshape(new_shape)

@@ -1,0 +1,183 @@
+"""On-device occupancy-grid evaluation.
+
+Re-design of the reference's host-side grid pipeline
+(/root/reference/mesh_util.py:12-187).  The reference streams 5k-point
+chunks through ~27k host<->device round trips per mesh and runs the octree
+logic in NumPy; here the ENTIRE lattice evaluation — including the
+coarse-to-fine skip logic — runs on-device under one jit, and the finished
+volume crosses to the host exactly once.
+
+Two evaluators:
+
+- ``eval_grid_dense``      — full res^3 lattice in x-slab chunks via
+  ``lax.fori_loop`` (parity: eval_grid, mesh_util.py:116-120).
+- ``eval_grid_two_phase``  — TPU-friendly re-design of the octree
+  (mesh_util.py:124-187): phase 1 evaluates the coarse corner lattice
+  (stride ``factor``); cells are ranked by corner disagreement
+  ``v_max - v_min`` and the top ``budget_cells`` are refined densely in
+  phase 2; skipped cells are filled with 0.5*(v_max+v_min) — the same fill
+  the reference uses (mesh_util.py:177-183).  Fixed budget => static
+  shapes; ranking (not thresholding) => no dynamic compaction.
+
+Grid convention (parity with create_grid + the calib_inv world mapping,
+mesh_util.py:12-38, 59-65): lattice index i in [0, res) maps to
+NDC = i * (2/res) - 1, and world = calib_inv @ [ndc, 1].
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# query_fn: ([M, 3] world-space points, *query_args) -> [M] occupancy.
+# query_args carry the dynamic model state (params, image features, calib)
+# so the jitted evaluators compile ONCE per query_fn and are reused across
+# subjects.
+QueryFn = Callable[..., jax.Array]
+
+
+def create_grid_transform(resolution: int,
+                          b_min=(-1.0, -1.0, -1.0),
+                          b_max=(1.0, 1.0, 1.0)) -> np.ndarray:
+    """4x4 index->box affine (reference create_grid's coords_matrix)."""
+    b_min = np.asarray(b_min, np.float64)
+    b_max = np.asarray(b_max, np.float64)
+    mat = np.eye(4)
+    mat[0, 0] = (b_max[0] - b_min[0]) / resolution
+    mat[1, 1] = (b_max[1] - b_min[1]) / resolution
+    mat[2, 2] = (b_max[2] - b_min[2]) / resolution
+    mat[:3, 3] = b_min
+    return mat
+
+
+def _idx_to_world(idx_xyz: jax.Array, resolution: int,
+                  calib_inv: jax.Array) -> jax.Array:
+    """Lattice indices [M, 3] -> world points [M, 3] via NDC and calib_inv."""
+    ndc = idx_xyz.astype(jnp.float32) * (2.0 / resolution) - 1.0
+    rot = calib_inv[:3, :3].astype(jnp.float32)
+    trans = calib_inv[:3, 3].astype(jnp.float32)
+    return ndc @ rot.T + trans
+
+
+@partial(jax.jit, static_argnames=("query_fn", "resolution"))
+def eval_grid_dense(query_fn: QueryFn, resolution: int,
+                    calib_inv: jax.Array, *query_args) -> jax.Array:
+    """Evaluate every lattice point; returns [res, res, res] occupancy."""
+    res = resolution
+    chunk = res * res  # one x-slab per step: divides res^3 exactly
+
+    def body(i, vol_flat):
+        lin = i * chunk + jnp.arange(chunk)
+        x = lin // (res * res)
+        y = (lin // res) % res
+        z = lin % res
+        world = _idx_to_world(jnp.stack([x, y, z], axis=-1), res, calib_inv)
+        occ = query_fn(world, *query_args)
+        return lax.dynamic_update_slice(vol_flat, occ, (i * chunk,))
+
+    vol = lax.fori_loop(0, res, body, jnp.zeros((res ** 3,), jnp.float32))
+    return vol.reshape(res, res, res)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("query_fn", "resolution", "factor", "budget_cells",
+                     "cells_per_chunk"),
+)
+def eval_grid_two_phase(
+    query_fn: QueryFn,
+    resolution: int,
+    calib_inv: jax.Array,
+    *query_args,
+    factor: int = 8,
+    budget_cells: int = 49152,
+    cells_per_chunk: int = 512,
+) -> jax.Array:
+    """Coarse-to-fine evaluation with a fixed refinement budget.
+
+    Args:
+        factor: coarse stride (8 => 64^3 coarse cells at res 512; matches the
+            reference's init stride res/64, mesh_util.py:126,138).
+        budget_cells: number of cells refined densely (static).  49152 =
+            18.75% of 64^3 — generous vs the ~5-10% of cells a human surface
+            crosses; overflow cells fall back to the coarse fill.
+        cells_per_chunk: refinement batch granularity.
+    """
+    res = resolution
+    n = res // factor                      # cells per axis
+    n1 = n + 1                             # corner lattice points per axis
+    # keep the refinement loop pad-free: budget is a multiple of the chunk
+    cells_per_chunk = min(cells_per_chunk, n ** 3)
+    budget_cells = min(max(budget_cells, cells_per_chunk), n ** 3)
+    budget_cells = (budget_cells // cells_per_chunk) * cells_per_chunk
+
+    # ---------------- phase 1: coarse corner lattice -------------------
+    ii = jnp.arange(n1)
+    cx, cy, cz = jnp.meshgrid(ii, ii, ii, indexing="ij")
+    corner_idx = jnp.stack(
+        [cx.reshape(-1), cy.reshape(-1), cz.reshape(-1)], axis=-1
+    ) * factor
+    corner_idx = jnp.minimum(corner_idx, res - 1)      # clamp 512 -> 511
+    # pad the (n+1)^3 corner count to a power-of-two multiple so a
+    # shard_map-wrapped query (point axis sharded over up to 1024 devices)
+    # always divides evenly
+    n_corners = n1 ** 3
+    n_pad = -(-n_corners // 1024) * 1024
+    corner_idx = jnp.concatenate(
+        [corner_idx,
+         jnp.broadcast_to(corner_idx[-1:], (n_pad - n_corners, 3))], axis=0)
+    world = _idx_to_world(corner_idx, res, calib_inv)
+    corner_vals = query_fn(world, *query_args)[:n_corners].reshape(n1, n1, n1)
+
+    # cell corner stats
+    c = corner_vals
+    stack8 = jnp.stack(
+        [
+            c[:-1, :-1, :-1], c[:-1, :-1, 1:], c[:-1, 1:, :-1], c[:-1, 1:, 1:],
+            c[1:, :-1, :-1], c[1:, :-1, 1:], c[1:, 1:, :-1], c[1:, 1:, 1:],
+        ],
+        axis=0,
+    )                                                   # [8, n, n, n]
+    v_min = stack8.min(axis=0)
+    v_max = stack8.max(axis=0)
+    activity = (v_max - v_min).reshape(-1)              # [n^3]
+    fill = 0.5 * (v_min + v_max)                        # [n, n, n]
+
+    # initialize volume with the per-cell fill, broadcast to factor^3 blocks
+    vol = jnp.broadcast_to(
+        fill[:, None, :, None, :, None],
+        (n, factor, n, factor, n, factor),
+    ).reshape(res, res, res).reshape(-1)
+
+    # ---------------- phase 2: refine top-K active cells ---------------
+    _, top_idx = lax.top_k(activity, budget_cells)      # [K] linear cell ids
+    cbx = top_idx // (n * n)
+    cby = (top_idx // n) % n
+    cbz = top_idx % n
+    cell_base = jnp.stack([cbx, cby, cbz], axis=-1) * factor  # [K, 3]
+
+    f3 = factor ** 3
+    oi = jnp.arange(factor)
+    ox, oy, oz = jnp.meshgrid(oi, oi, oi, indexing="ij")
+    offsets = jnp.stack(
+        [ox.reshape(-1), oy.reshape(-1), oz.reshape(-1)], axis=-1
+    )                                                   # [f^3, 3]
+
+    n_chunks = budget_cells // cells_per_chunk  # exact (budget rounded above)
+
+    def body(i, vol_flat):
+        s = i * cells_per_chunk
+        bases = lax.dynamic_slice(cell_base, (s, 0), (cells_per_chunk, 3))
+        pts_idx = (bases[:, None, :] + offsets[None, :, :]).reshape(-1, 3)
+        world = _idx_to_world(pts_idx, res, calib_inv)
+        occ = query_fn(world, *query_args)               # [chunk*f^3]
+        lin = (pts_idx[:, 0] * res + pts_idx[:, 1]) * res + pts_idx[:, 2]
+        return vol_flat.at[lin].set(occ)
+
+    vol = lax.fori_loop(0, n_chunks, body, vol)
+    return vol.reshape(res, res, res)

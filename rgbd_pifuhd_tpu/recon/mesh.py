@@ -1,0 +1,129 @@
+"""Mesh IO and host-side mesh utilities.
+
+- ``save_obj_with_color`` — OBJ writer with per-vertex colors; faces are
+  written with flipped winding ``f v0 v2 v1``, matching the reference's
+  export convention (/root/reference/mesh_util.py:189-198).
+- ``load_obj`` — minimal OBJ reader (v/vn/vt/f, triangulates quads), the
+  equivalent of traindata/lib/renderer/mesh.py:48-160.
+- ``connected_components`` / ``keep_largest_component`` — replaces the
+  reference's trimesh ``.split()`` mesh cleaning (reconstruction.py:325-344)
+  with a union-find over face connectivity; "largest" follows the reference
+  in keeping the component with the greatest vertical (y) extent.
+- ``compute_vertex_normals`` — area-weighted vertex normals
+  (traindata/lib/renderer/mesh.py:300-320 equivalent).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def save_obj_with_color(path: str, verts: np.ndarray, faces: np.ndarray,
+                        colors: np.ndarray | None = None) -> None:
+    """Write OBJ with 'v x y z r g b' lines and flipped face winding."""
+    verts = np.asarray(verts, dtype=np.float64)
+    faces = np.asarray(faces, dtype=np.int64)
+    lines = []
+    if colors is None:
+        for v in verts:
+            lines.append(f"v {v[0]:.4f} {v[1]:.4f} {v[2]:.4f}")
+    else:
+        colors = np.asarray(colors, dtype=np.float64)
+        for v, c in zip(verts, colors):
+            lines.append(
+                f"v {v[0]:.4f} {v[1]:.4f} {v[2]:.4f} "
+                f"{c[0]:.4f} {c[1]:.4f} {c[2]:.4f}"
+            )
+    for f in faces + 1:
+        lines.append(f"f {f[0]} {f[2]} {f[1]}")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+def load_obj(path: str):
+    """Minimal OBJ reader -> (verts [V,3], faces [F,3], colors or None).
+
+    Handles 'v' (with optional rgb), 'f' with /vt/vn suffixes and quads
+    (fan triangulation), ignoring everything else.
+    """
+    verts, colors, faces = [], [], []
+    with open(path) as fh:
+        for line in fh:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v":
+                vals = [float(x) for x in parts[1:]]
+                verts.append(vals[:3])
+                if len(vals) >= 6:
+                    colors.append(vals[3:6])
+            elif parts[0] == "f":
+                idx = [int(p.split("/")[0]) - 1 for p in parts[1:]]
+                for k in range(1, len(idx) - 1):
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    v = np.asarray(verts, dtype=np.float32)
+    f = np.asarray(faces, dtype=np.int32)
+    c = np.asarray(colors, dtype=np.float32) if colors else None
+    return v, f, c
+
+
+def connected_components(n_verts: int, faces: np.ndarray) -> np.ndarray:
+    """Union-find vertex labels [V] from face connectivity."""
+    parent = np.arange(n_verts, dtype=np.int64)
+
+    def find(i):
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:  # path compression
+            parent[i], i = root, parent[i]
+        return root
+
+    for f in np.asarray(faces, dtype=np.int64):
+        a = find(f[0])
+        b = find(f[1])
+        c = find(f[2])
+        parent[b] = a
+        parent[c] = a
+    return np.array([find(i) for i in range(n_verts)], dtype=np.int64)
+
+
+def keep_largest_component(verts: np.ndarray, faces: np.ndarray,
+                           colors: np.ndarray | None = None, axis: int = 0):
+    """Keep the connected component with the largest extent along ``axis``.
+
+    Parity with the reference's meshcleaning (reconstruction.py:325-344),
+    which keeps the component with the largest axis-0 extent
+    (``bounds[1,0] - bounds[0,0]``).
+    """
+    labels = connected_components(len(verts), faces)
+    roots, inv = np.unique(labels, return_inverse=True)
+    best, best_h = None, -1.0
+    for k, r in enumerate(roots):
+        sel = inv == k
+        if sel.sum() < 3:
+            continue
+        ys = verts[sel][:, axis]
+        h = float(ys.max() - ys.min())
+        if h > best_h:
+            best, best_h = k, h
+    keep = inv == best
+    remap = -np.ones(len(verts), dtype=np.int64)
+    remap[keep] = np.arange(int(keep.sum()))
+    fmask = keep[faces].all(axis=1)
+    new_faces = remap[faces[fmask]].astype(np.int32)
+    new_colors = colors[keep] if colors is not None else None
+    return verts[keep], new_faces, new_colors
+
+
+def compute_vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted per-vertex normals (normalized)."""
+    v0 = verts[faces[:, 0]]
+    v1 = verts[faces[:, 1]]
+    v2 = verts[faces[:, 2]]
+    fn = np.cross(v1 - v0, v2 - v0)  # magnitude == 2*area
+    normals = np.zeros_like(verts, dtype=np.float64)
+    for k in range(3):
+        np.add.at(normals, faces[:, k], fn)
+    lens = np.linalg.norm(normals, axis=1, keepdims=True)
+    return (normals / np.maximum(lens, 1e-12)).astype(np.float32)

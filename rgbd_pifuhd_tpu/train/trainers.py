@@ -1,0 +1,145 @@
+"""Optimizers and jitted train steps.
+
+Parity targets:
+- fine training: RMSprop(lr=1e-3) on the full netMR tree with frozen netG
+  (zero grads through stop_gradient), loss = Err(occ:fine)
+  (/root/reference/train.py:141,188-191; PIFuMRNet loss semantics with the
+  preds_interm fix, SURVEY.md 2.5.5)
+- coarse pretrain: RMSprop on CoarsePIFu with CustomBCE(gamma)
+  (pretrain_netG.py:282,315-319)
+- normal pretrain: Adam(0.5, 0.999) separately on netF and netB with
+  loss = 5*L1 + perceptual (VGG content + style) (pretrain_netG.py:122-123,
+  159-197); the perceptual term is pluggable (models/vgg.py provides it).
+- step LR decay at schedule epochs by gamma (train.py adjust_learning_rate).
+
+Data parallelism: ``shard_train_step`` jits a step with params replicated
+and the batch sharded on its leading axis over the mesh's 'data' axis; XLA
+inserts the gradient psum over ICI automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.coarse import CoarsePIFu
+from ..models.multires import MultiResPIFu
+from ..ops.losses import l1
+
+
+def make_lr_schedule(base_lr: float, schedule_epochs: Sequence[int],
+                     gamma: float, steps_per_epoch: int):
+    """Piecewise-constant step decay (reference adjust_learning_rate)."""
+    boundaries = {
+        int(e) * steps_per_epoch: gamma for e in schedule_epochs
+    }
+    return optax.piecewise_constant_schedule(base_lr, boundaries)
+
+
+def make_optimizer(kind: str, lr, **kwargs) -> optax.GradientTransformation:
+    if kind == "rmsprop":
+        # torch.optim.RMSprop defaults: alpha=0.99, eps=1e-8 (train.py:141)
+        return optax.rmsprop(lr, decay=0.99, eps=1e-8, **kwargs)
+    if kind == "adam":
+        # pretrain_netG.py:122 uses Adam(betas=(0.5, 0.999))
+        return optax.adam(lr, b1=kwargs.pop("b1", 0.5),
+                          b2=kwargs.pop("b2", 0.999), **kwargs)
+    raise ValueError(f"unknown optimizer {kind!r}")
+
+
+def make_fine_train_step(model: MultiResPIFu,
+                         tx: optax.GradientTransformation) -> Callable:
+    """One fine-training step; loss = mean over fine intermediate preds."""
+
+    def step(params, opt_state, batch):
+        def loss_fn(p):
+            err, out = model.apply(
+                p, batch["images_local"], batch["images_global"],
+                batch["points"], batch["calib_local"], batch["calib_global"],
+                batch["labels"], train=True,
+            )
+            total = err["occ_fine"]
+            if "occ" in err:
+                total = total + err["occ"]
+            return total, err
+
+        (loss, err), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = {"loss": loss, **{k: v for k, v in err.items()}}
+        return params, opt_state, metrics
+
+    return step
+
+
+def make_coarse_train_step(model: CoarsePIFu,
+                           tx: optax.GradientTransformation,
+                           gamma: float = 0.5) -> Callable:
+    """One coarse-pretraining step (CustomBCE over hourglass stacks)."""
+
+    def step(params, opt_state, batch):
+        def loss_fn(p):
+            err, _ = model.apply(
+                p, batch["images"], batch["points"], batch["calibs"],
+                batch["labels"], gamma, train=True,
+            )
+            return err
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss}
+
+    return step
+
+
+def make_normal_train_step(
+    apply_fn: Callable,
+    tx: optax.GradientTransformation,
+    perceptual_fn: Callable | None = None,
+    l1_weight: float = 5.0,
+) -> Callable:
+    """One normal-net (netF or netB) pretraining step.
+
+    loss = l1_weight * L1(fake, target) + perceptual(target, fake, style)
+    (reference pretrain_netG.py:159-197).  ``apply_fn(params, images) ->
+    predicted normal map``; ``perceptual_fn(x, y, style) -> scalar`` is the
+    VGG content+style loss (or None for L1-only).
+    """
+
+    def step(params, opt_state, batch):
+        def loss_fn(p):
+            fake = apply_fn(p, batch["images"])
+            loss = l1_weight * l1(fake, batch["target"])
+            if perceptual_fn is not None:
+                loss = loss + perceptual_fn(batch["target"], fake,
+                                            batch["style"])
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss}
+
+    return step
+
+
+def shard_train_step(step_fn: Callable, mesh: Mesh,
+                     axis: str = "data") -> Callable:
+    """Jit a train step with batch sharded over the mesh's data axis.
+
+    params/opt_state replicated; every array in ``batch`` sharded on its
+    leading (B1) axis.  XLA turns the mean-loss gradient into a psum over
+    ICI — the framework's data parallelism.
+    """
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, repl, data),
+        out_shardings=(repl, repl, repl),
+    )

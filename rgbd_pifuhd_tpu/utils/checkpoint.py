@@ -1,0 +1,78 @@
+"""Checkpoint save/load.
+
+Parity with the reference's torch.save dict checkpoints
+(/root/reference/train.py:208-212, reconstruction.py:252-269): a checkpoint
+bundles ``{'opt', 'opt_netG', 'params', 'epoch'}``; inference restores the
+ENTIRE option namespace from the checkpoint, overriding CLI flags except
+dataroot / resolution / results_path / load_size.
+
+Format: one msgpack file (flax.serialization) — single-file like torch.save,
+no directory trees.  Naming parity: ``<name>_train_latest`` and
+``<name>_train_epoch_<N>`` (reference train.py:208-212 uses
+``netMR_latest``/``netMR_epoch_N`` under checkpoints/<name>/; recon loads
+``%s/%s_train_latest`` — we follow the recon reader's convention).
+Optimizer state may be included (the reference never checkpoints it;
+SURVEY.md section 5 notes this as a gap we close).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import numpy as np
+from flax import serialization
+
+from .options import Options
+
+
+def save_checkpoint(
+    path: str,
+    params: Any,
+    opt: Options,
+    opt_netG: Options | None = None,
+    epoch: int = 0,
+    opt_state: Any = None,
+) -> None:
+    payload = {
+        "params": params,
+        "opt": opt.to_dict(),
+        "opt_netG": (opt_netG or opt).to_dict(),
+        "epoch": epoch,
+    }
+    if opt_state is not None:
+        payload["opt_state"] = opt_state
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    data = serialization.msgpack_serialize(_to_pure(payload))
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def load_checkpoint(path: str) -> dict:
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    return payload
+
+
+def restore_options(cli_opt: Options, ckpt: dict) -> tuple[Options, Options]:
+    """Checkpoint opts override CLI except the four kept fields."""
+    opt = cli_opt.restore_from_checkpoint_dict(ckpt["opt"])
+    opt_netG = Options.from_dict(ckpt["opt_netG"])
+    return opt, opt_netG
+
+
+def _to_pure(tree):
+    """Convert jax arrays to numpy for msgpack."""
+    import jax
+
+    return jax.tree.map(
+        lambda x: np.asarray(x) if hasattr(x, "dtype") else x, tree
+    )
+
+
+def latest_path(checkpoints_path: str, name: str) -> str:
+    return os.path.join(checkpoints_path, f"{name}_train_latest")
+
+
+def epoch_path(checkpoints_path: str, name: str, epoch: int) -> str:
+    return os.path.join(checkpoints_path, f"{name}_train_epoch_{epoch}")

@@ -1,0 +1,136 @@
+"""Data-layer tests: preprocessing, containment, sampling, synthetic tree,
+dataset readers."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rgbd_pifuhd_tpu.data.preprocessing import (
+    addrect,
+    rect_to_ndc_transform,
+    normalize_image,
+)
+from rgbd_pifuhd_tpu.data.containment import (
+    MeshContainmentTester,
+    points_in_mesh,
+)
+from rgbd_pifuhd_tpu.data.sampling import (
+    sample_surface_points,
+    sample_occupancy_points,
+)
+from rgbd_pifuhd_tpu.data.synthetic import (
+    make_icosphere,
+    make_capsule,
+    normalize_mesh_height,
+    rasterize_ortho,
+    generate_synthetic_dataset,
+)
+
+
+def test_addrect_zero_pad():
+    img = np.arange(25, dtype=np.uint8).reshape(5, 5, 1)
+    out = addrect(img, (-2, -2, 5, 5))  # crop extends past top-left
+    assert out.shape == (5, 5, 1)
+    assert out[0, 0, 0] == 0 and out[2, 2, 0] == img[0, 0, 0]
+    out2 = addrect(img, (1, 1, 3, 3))
+    np.testing.assert_array_equal(out2[:, :, 0], img[1:4, 1:4, 0])
+
+
+def test_rect_ndc_transform_centers_rect():
+    # a rect centered in the image must produce pure scaling
+    t = rect_to_ndc_transform((256, 256, 512, 512), 1024, 1024)
+    assert t[0, 3] == 0.0 and t[1, 3] == 0.0
+    assert t[0, 0] == 2.0  # 1024/512 zoom
+
+
+def test_normalize_image_range():
+    img = np.array([[[0, 128, 255]]], dtype=np.uint8)
+    out = normalize_image(img)
+    np.testing.assert_allclose(out[0, 0], [-1.0, 0.00392157, 1.0], atol=1e-5)
+
+
+def test_containment_sphere(rng):
+    v, f = make_icosphere(3, 1.0)
+    pts = rng.uniform(-1.5, 1.5, (2000, 3))
+    inside = points_in_mesh(pts, v, f)
+    r = np.linalg.norm(pts, axis=1)
+    # icosphere at subdiv 3 approximates the unit sphere within ~1%
+    clear = (r < 0.95) | (r > 1.05)
+    np.testing.assert_array_equal(inside[clear], (r < 1.0)[clear])
+
+
+def test_containment_translated_capsule(rng):
+    v, f = make_capsule(1.6, 0.5, 2)
+    v = v + np.array([10.0, -5.0, 3.0])
+    tester = MeshContainmentTester(v, f)
+    assert tester.contains(np.array([[10.0, -5.0, 3.0]]))[0]
+    assert not tester.contains(np.array([[0.0, 0.0, 0.0]]))[0]
+
+
+def test_surface_sampling_on_surface(rng):
+    v, f = make_icosphere(3, 2.0)
+    pts = sample_surface_points(v, f, 500, rng)
+    r = np.linalg.norm(pts, axis=1)
+    assert np.abs(r - 2.0).max() < 0.05  # on the (faceted) sphere
+
+
+def test_occupancy_sampling_balance(rng):
+    v, f = make_icosphere(2, 1.0)
+    v = normalize_mesh_height(v, 100.0)
+    samples, labels = sample_occupancy_points(
+        v, f, 300, v.min(0) - 10, v.max(0) + 10, rng, sigma=5.0)
+    assert samples.shape == (300, 3) and labels.shape == (300, 1)
+    frac_in = labels.mean()
+    assert 0.2 < frac_in <= 0.5  # balanced-ish, never more than half inside
+
+
+def test_rasterizer_sphere_mask_and_depth():
+    v, f = make_icosphere(3, 1.0)
+    v = normalize_mesh_height(v, 180.0) + np.array([0.0, 0.0, -400.0])
+    # calib: world -> NDC with y flip, scaled to fit
+    calib = np.diag([1 / 128, -1 / 128, 1 / 128, 1.0])
+    calib[2, 3] = 400.0 / 128
+    out = rasterize_ortho(v, f, 128, calib)
+    m = out["mask"]
+    assert 0.1 < m.mean() < 0.6
+    # sphere: mask is (roughly) a disc centered in the image
+    ys, xs = np.nonzero(m)
+    assert abs(xs.mean() - 63.5) < 2 and abs(ys.mean() - 63.5) < 2
+    # depth exists only on the mask
+    assert np.isinf(out["zbuf"][~m]).all()
+    assert np.isfinite(out["zbuf"][m]).all()
+
+
+def test_synthetic_tree_and_datasets(tmp_path, rng):
+    from rgbd_pifuhd_tpu.data.datasets import TrainDataset, EvalDataset
+    from rgbd_pifuhd_tpu.utils.options import Options
+
+    root = os.path.join(tmp_path, "traindata")
+    generate_synthetic_dataset(root, subjects=("sphere",), size=128,
+                               load_size=256)
+    for d in ("RENDER/sphere", "MASK/sphere", "DEPTH/sphere", "NORM/sphere",
+              "PARAM/sphere", "OBJ", "gen", "normal"):
+        assert os.listdir(os.path.join(root, d)), d
+
+    opt = Options(dataroot=root, load_size=256, load_size_big=256,
+                  load_size_local=128, num_sample_inout=100, sigma=5.0)
+    ds = TrainDataset(opt, use_crop=False)
+    assert len(ds) == 1
+    item = ds[0]
+    assert item["img"].shape == (1, 256, 256, 6)
+    assert item["img_512"].shape == (128, 128, 6)
+    assert item["samples"].shape == (100, 3)
+    assert set(np.unique(item["labels"])) <= {0.0, 1.0}
+    assert item["labels"].mean() > 0.05  # sampler found the inside
+
+    # calib projects mesh center into the unit box
+    from rgbd_pifuhd_tpu.ops import geometry as G
+    import jax.numpy as jnp
+    center = np.array([[[-128.0, 100.0, -434.0]]], np.float32)
+    ndc = np.asarray(G.orthogonal(jnp.asarray(center),
+                                  jnp.asarray(item["calib"][None])))
+    assert np.abs(ndc).max() < 0.5
+
+    ev = EvalDataset(opt)
+    assert len(ev) == 1 and "samples" in ev[0]

@@ -1,0 +1,86 @@
+"""Sharding tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rgbd_pifuhd_tpu.parallel import (
+    make_device_mesh,
+    shard_points_query,
+)
+from rgbd_pifuhd_tpu.recon.grid import eval_grid_two_phase, eval_grid_dense
+
+
+def test_mesh_all_devices():
+    mesh = make_device_mesh()
+    assert mesh.devices.size == 8  # conftest forces 8 virtual CPU devices
+
+
+def sphere_occ(world_pts, center, radius):
+    d = jnp.linalg.norm(world_pts - center, axis=-1)
+    return jax.nn.sigmoid((radius - d) * 40.0)
+
+
+def test_sharded_query_matches_single_device():
+    mesh = make_device_mesh()
+    sharded = shard_points_query(sphere_occ, mesh)
+    pts = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (1024, 3)).astype(np.float32))
+    center = jnp.zeros(3)
+    a = np.asarray(sphere_occ(pts, center, 0.5))
+    b = np.asarray(jax.jit(sharded)(pts, center, 0.5))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_sharded_grid_eval_matches_dense():
+    """The full two-phase evaluator with a sharded query on 8 devices."""
+    mesh = make_device_mesh()
+    sharded = shard_points_query(sphere_occ, mesh)
+    res = 32
+    calib_inv = jnp.eye(4)
+    center = jnp.array([0.05, 0.0, -0.1])
+
+    dense = np.asarray(eval_grid_dense(sphere_occ, res, calib_inv,
+                                       center, 0.55))
+    two = np.asarray(
+        eval_grid_two_phase(sharded, res, calib_inv, center, 0.55,
+                            factor=4, budget_cells=128, cells_per_chunk=32))
+    near = np.abs(dense - 0.5) < 0.2
+    assert near.sum() > 50
+    np.testing.assert_allclose(two[near], dense[near], atol=1e-6)
+
+
+def test_sharded_model_query_runs(rng):
+    """MultiResPIFu query wrapped with shard_map over the point axis."""
+    from rgbd_pifuhd_tpu.models import MultiResPIFu
+    from tests.test_models_pifu import tiny_global, tiny_local
+
+    model = MultiResPIFu(cfg=tiny_local(), cfg_global=tiny_global())
+    img_l = jnp.asarray(rng.standard_normal((1, 1, 32, 32, 6)).astype(np.float32))
+    img_g = jnp.asarray(rng.standard_normal((1, 64, 64, 6)).astype(np.float32))
+    calib = jnp.eye(4, dtype=jnp.float32)
+    pts0 = jnp.zeros((1, 1, 8, 3), jnp.float32)
+    labels = jnp.zeros((1, 1, 8, 1), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), img_l, img_g, pts0,
+                        calib[None, None], calib[None], labels)
+
+    g_feats = model.apply(params, img_g, method=MultiResPIFu.filter_global)
+    l_feats = model.apply(params, img_l, g_feats,
+                          method=MultiResPIFu.filter_local)
+
+    def query(world_pts, params, l_feats, g_feats, calib):
+        out = model.apply(params, l_feats, g_feats, world_pts[None, None],
+                          calib[None, None], calib[None],
+                          method=MultiResPIFu.query)
+        return out.preds[0, :, 0]
+
+    mesh = make_device_mesh()
+    sharded = shard_points_query(query, mesh)
+    pts = jnp.asarray(rng.uniform(-1, 1, (2048, 3)).astype(np.float32))
+
+    a = np.asarray(query(pts, params, l_feats, g_feats, calib))
+    b = np.asarray(jax.jit(sharded)(pts, params, l_feats, g_feats, calib))
+    # tiny configs use mlp_norm='none' so sharding must be exact
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)

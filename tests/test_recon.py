@@ -1,0 +1,146 @@
+"""Reconstruction-layer tests: grid evaluators, marching tetrahedra, OBJ IO,
+and the end-to-end Reconstructor machinery."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rgbd_pifuhd_tpu.recon.grid import (
+    eval_grid_dense,
+    eval_grid_two_phase,
+    create_grid_transform,
+)
+from rgbd_pifuhd_tpu.recon.marching import marching_tetrahedra
+from rgbd_pifuhd_tpu.recon.mesh import (
+    save_obj_with_color,
+    load_obj,
+    keep_largest_component,
+    connected_components,
+    compute_vertex_normals,
+)
+
+
+def sphere_occ(world_pts, center, radius):
+    """Analytic soft occupancy: 0.5 exactly on the radius."""
+    d = jnp.linalg.norm(world_pts - center, axis=-1)
+    return jax.nn.sigmoid((radius - d) * 40.0)
+
+
+def test_two_phase_matches_dense_near_surface():
+    res = 64
+    center = jnp.array([0.1, -0.05, 0.0])
+    calib_inv = jnp.eye(4)
+
+    dense = np.asarray(
+        eval_grid_dense(sphere_occ, res, calib_inv, center, 0.5))
+    two = np.asarray(
+        eval_grid_two_phase(sphere_occ, res, calib_inv, center, 0.5,
+                            factor=8, budget_cells=256, cells_per_chunk=64))
+    # wherever the dense field is anywhere near the threshold, the two-phase
+    # evaluator must have refined and match exactly
+    near = np.abs(dense - 0.5) < 0.2
+    assert near.sum() > 100
+    np.testing.assert_array_equal(two[near], dense[near])
+    # and the fill regions stay on the correct side of the threshold
+    assert ((two > 0.5) == (dense > 0.5)).mean() > 0.999
+
+
+def test_end_to_end_sphere_mesh(tmp_path):
+    """Analytic field -> volume -> marching -> world transform -> OBJ."""
+    res = 64
+    radius = 0.6
+    # non-trivial calib: scale 2x + translation
+    calib = np.diag([0.5, 0.5, 0.5, 1.0]).astype(np.float32)
+    calib[:3, 3] = [0.1, 0.2, -0.05]
+    calib_inv = jnp.asarray(np.linalg.inv(calib))
+
+    # world-space sphere centered where NDC 0 maps to
+    c_world = np.linalg.inv(calib) @ np.array([0.0, 0.0, 0.0, 1.0])
+    center = jnp.asarray(c_world[:3])
+    # world radius = radius / 0.5 (calib scales world->NDC by 0.5)
+    w_radius = radius / 0.5
+
+    vol = np.asarray(
+        eval_grid_two_phase(sphere_occ, res, calib_inv, center, w_radius,
+                            factor=8, budget_cells=512, cells_per_chunk=128))
+    verts_idx, faces = marching_tetrahedra(vol, 0.5)
+    assert len(verts_idx) > 500
+
+    mat = create_grid_transform(res)
+    trans = np.linalg.inv(calib) @ mat
+    verts = verts_idx @ trans[:3, :3].T + trans[:3, 3]
+
+    r = np.linalg.norm(verts - c_world[:3], axis=1)
+    np.testing.assert_allclose(r.mean(), w_radius, rtol=0.02)
+    assert r.std() < 0.02 * w_radius
+
+    # OBJ roundtrip
+    path = os.path.join(tmp_path, "sphere.obj")
+    colors = np.tile([[1.0, 0.0, 0.5]], (len(verts), 1))
+    save_obj_with_color(path, verts, faces, colors)
+    v2, f2, c2 = load_obj(path)
+    assert v2.shape == verts.shape
+    assert f2.shape == faces.shape
+    np.testing.assert_allclose(v2, verts, atol=1e-3)
+    np.testing.assert_allclose(c2[0], [1.0, 0.0, 0.5], atol=1e-4)
+    # writer flips winding: f v0 v2 v1 (mesh_util.py:197)
+    np.testing.assert_array_equal(f2[:, [0, 2, 1]], faces)
+
+
+def test_connected_components_and_cleaning():
+    # two separate triangles, one tall (axis 0), one short
+    verts = np.array([
+        [0, 0, 0], [5, 0, 0], [0, 1, 0],       # tall in x
+        [10, 10, 10], [10.5, 10, 10], [10, 10.5, 10],
+    ], dtype=np.float32)
+    faces = np.array([[0, 1, 2], [3, 4, 5]], dtype=np.int32)
+    labels = connected_components(6, faces)
+    assert len(np.unique(labels)) == 2
+    v, f, _ = keep_largest_component(verts, faces, axis=0)
+    assert len(v) == 3 and len(f) == 1
+    np.testing.assert_allclose(v[f[0]][:, 0].max(), 5.0)
+
+
+def test_vertex_normals_sphere():
+    n = 32
+    g = np.mgrid[:n, :n, :n].astype(np.float64)
+    d = np.sqrt(((g - n / 2) ** 2).sum(0))
+    vol = 1.0 / (1.0 + np.exp(d - 10.0))
+    verts, faces = marching_tetrahedra(vol, 0.5)
+    nrm = compute_vertex_normals(verts, faces)
+    radial = verts - n / 2
+    radial /= np.linalg.norm(radial, axis=1, keepdims=True)
+    cos = (nrm * radial).sum(1)
+    assert cos.mean() > 0.98  # outward, aligned with radial direction
+
+
+def test_reconstructor_machinery(rng, tmp_path):
+    """Untrained tiny model: pipeline must still run end-to-end and export."""
+    from rgbd_pifuhd_tpu.models import MultiResPIFu
+    from rgbd_pifuhd_tpu.recon.pipeline import Reconstructor
+    from rgbd_pifuhd_tpu.utils.options import Options
+    from tests.test_models_pifu import tiny_global, tiny_local
+
+    opt = Options(resolution=32, use_octree=True)
+    model = MultiResPIFu(cfg=tiny_local(), cfg_global=tiny_global())
+
+    img_l = jnp.asarray(rng.standard_normal((1, 32, 32, 6)).astype(np.float32))
+    img_g = jnp.asarray(rng.standard_normal((1, 64, 64, 6)).astype(np.float32))
+    calib = jnp.eye(4, dtype=jnp.float32)
+    pts = jnp.zeros((1, 1, 8, 3), jnp.float32)
+    labels = jnp.zeros((1, 1, 8, 1), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), img_l[None], img_g, pts,
+                        calib[None, None], calib[None], labels)
+
+    recon = Reconstructor(model, params, opt)
+    data = {"img": img_l, "img_512": img_g, "calib": calib}
+    out = recon.gen_mesh(data, os.path.join(tmp_path, "out.obj"),
+                         resolution=32)
+    assert os.path.exists(os.path.join(tmp_path, "out.obj"))
+    assert out["verts"].shape[1] == 3
+    v, f, c = load_obj(os.path.join(tmp_path, "out.obj"))
+    assert len(v) == len(out["verts"]) and c is not None
