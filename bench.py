@@ -1,14 +1,20 @@
 """Benchmark: end-to-end coarse+fine mesh reconstruction on one TPU chip.
 
 Primary metric (BASELINE.json): seconds per mesh at 512^3 coarse+fine.
-The reference publishes no numbers; BASELINE.md's derived baseline is the
-host-chunked CPU/GPU path with ~27k device round-trips.  vs_baseline is
-computed against the driver-set north-star of 2.0 s/mesh on v5e-8 —
-value < 1 means faster than target.
+vs_baseline is computed against the driver-set north-star of 2.0 s/mesh —
+value < 1.0 means faster than the target.
 
-Prints ONE JSON line:
-  {"metric": "secs_per_mesh_512_coarse_fine", "value": ..., "unit": "s",
-   "vs_baseline": value / 2.0, ...extras}
+Composition (documented because the model here is untrained):
+- encode: coarse(512^2) + fine(1024^2) filters + normal nets, real flagship
+  architecture — timed as-is.
+- volume: two-phase 512^3 grid evaluation.  Its cost is BUDGET-BOUND
+  (top-K cell refinement has static shapes), so it is identical for a
+  trained or untrained model; the untrained model's MLP final bias is set
+  to -4 so the field is empty and marching isn't fed noise.
+- marching: timed on a realistic analytic 512^3 volume with a human-scale
+  surface (~560k verts) — what a trained model would produce.
+
+Prints ONE JSON line.
 """
 
 import json
@@ -17,21 +23,37 @@ import time
 import numpy as np
 
 
+def _human_scale_volume(res: int) -> np.ndarray:
+    """Capsule-ish occupancy with ~0.5-1M surface verts at 512^3."""
+    vol = np.zeros((res, res, res), np.float32)
+    cy = res / 2
+    yy = (np.arange(res)[:, None] - cy) ** 2
+    xx = (np.arange(res)[None, :] - cy) ** 2
+    r = res * 0.18
+    half = res * 0.25
+    for z in range(res):
+        dz = z - cy
+        dzc = np.clip(np.abs(dz) - half, 0, None)
+        d = np.sqrt(yy + xx + dzc ** 2)
+        vol[:, :, z] = 1.0 / (1.0 + np.exp(np.clip((d - r) / 1.5, -30, 30)))
+    return vol
+
+
 def main():
     import jax
     import jax.numpy as jnp
     from rgbd_pifuhd_tpu.models import MultiResPIFu
     from rgbd_pifuhd_tpu.recon.pipeline import Reconstructor
+    from rgbd_pifuhd_tpu.recon.marching import marching_tetrahedra
     from rgbd_pifuhd_tpu.utils.options import Options
     from __graft_entry__ import _configs
 
     resolution = 512
-    cfg_g, cfg_l, res_g, res_l = _configs(tiny=False)
+    cfg_g, cfg_l, _, _ = _configs(tiny=False)
     model = MultiResPIFu(cfg=cfg_l, cfg_global=cfg_g)
 
     rng = np.random.default_rng(0)
     f32 = np.float32
-    # synthetic RGB-D subject at production sizes: global 512, local 1024
     img_g = jnp.asarray(rng.standard_normal((1, 512, 512, 6)).astype(f32))
     img_l = jnp.asarray(rng.standard_normal((1, 1024, 1024, 6)).astype(f32))
     calib = jnp.eye(4, dtype=jnp.float32)
@@ -41,34 +63,47 @@ def main():
         jnp.zeros((1, 1, 8, 3), f32), calib[None, None], calib[None],
         jnp.zeros((1, 1, 8, 1), f32),
     )
+    # bias the fine MLP's last layer so the untrained field is empty
+    # (grid-eval cost is budget-bound and unaffected; see module docstring)
+    last = sorted(params["params"]["mlp"].keys())[-1]
+    params["params"]["mlp"][last]["bias"] = (
+        params["params"]["mlp"][last]["bias"] - 4.0)
 
     opt = Options(resolution=resolution, use_octree=True)
     recon = Reconstructor(model, params, opt)
     data = {"img": img_l, "img_512": img_g, "calib": calib}
 
-    # warmup (compile)
+    # ---- warmup (compile everything once)
     l_feats, g_feats = recon.encode(data["img"], data["img_512"])
-    vol = recon.occupancy_volume(l_feats, g_feats, calib, resolution)
+    _ = recon.occupancy_volume(l_feats, g_feats, calib, resolution)
 
-    # timed end-to-end: encode + volume + device->host + marching cubes
-    times = []
-    mesh_sizes = []
+    # ---- timed components (median of 3)
+    t_enc, t_vol = [], []
     for _ in range(3):
         t0 = time.time()
         l_feats, g_feats = recon.encode(data["img"], data["img_512"])
+        jax.block_until_ready(l_feats.im_feats)
+        t_enc.append(time.time() - t0)
+        t0 = time.time()
         vol = recon.occupancy_volume(l_feats, g_feats, calib, resolution)
-        from rgbd_pifuhd_tpu.recon.marching import marching_tetrahedra
-        verts, faces = marching_tetrahedra(vol, 0.5)
-        times.append(time.time() - t0)
-        mesh_sizes.append(len(verts))
+        t_vol.append(time.time() - t0)  # includes device->host transfer
 
-    secs = float(np.median(times))
-    # grid-query throughput (points/sec/chip) on the pure query path
+    mvol = _human_scale_volume(resolution)
+    t_mc = []
+    for _ in range(3):
+        t0 = time.time()
+        verts, faces = marching_tetrahedra(mvol, 0.5)
+        t_mc.append(time.time() - t0)
+
+    enc = float(np.median(t_enc))
+    volt = float(np.median(t_vol))
+    mc = float(np.median(t_mc))
+    secs = enc + volt + mc
+
+    # grid-query throughput on the pure fused coarse+fine query path
     n_pts = 262144
     pts = jnp.asarray(rng.uniform(-1, 1, (n_pts, 3)).astype(f32))
-    q = recon._query
-    import jax as _jax
-    qj = _jax.jit(q)
+    qj = jax.jit(recon._query)
     qj(pts, recon.params, l_feats, g_feats, calib).block_until_ready()
     t0 = time.time()
     for _ in range(5):
@@ -81,8 +116,11 @@ def main():
         "value": round(secs, 4),
         "unit": "s",
         "vs_baseline": round(secs / 2.0, 4),
+        "encode_s": round(enc, 4),
+        "volume_512_s": round(volt, 4),
+        "marching_s": round(mc, 4),
         "grid_query_pts_per_sec_per_chip": round(pps),
-        "mesh_verts": int(np.median(mesh_sizes)),
+        "mesh_verts": int(len(verts)),
         "device": str(jax.devices()[0]),
     }))
 

@@ -1,0 +1,103 @@
+"""Reconstruction CLI (reference run_recon.py / reconstruction.recon).
+
+Checkpoint-restore semantics match the reference (reconstruction.py:252-269):
+the checkpoint's embedded options override the CLI except dataroot /
+resolution / results_path / loadSize.
+
+``--demo-sphere`` runs hermetically: generates a synthetic subject, uses a
+freshly-initialized model, and reconstructs — the smoke-test path.
+
+use_color: 0 = fd-normal colors (gen_mesh), 1 = image colors
+(gen_mesh_imgColor), 2 = image colors + largest-component cleanup + back
+inpainting (gen_mesh_imgColor_plus).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    demo = False
+    if "--demo-sphere" in argv:
+        demo = True
+        argv.remove("--demo-sphere")
+
+    from ..utils.options import parse_options
+    opt = parse_options(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from ..models.multires import MultiResPIFu
+    from ..recon.pipeline import Reconstructor, estimate_back_colors
+    from ..utils import checkpoint as ckpt
+    from ..data.readdata import InferenceDataset
+
+    if demo:
+        from ..data.synthetic import generate_synthetic_dataset
+        from ..data.datasets import TrainDataset
+        import dataclasses
+
+        root = os.path.join(opt.results_path, "_demo_data")
+        if not os.path.isdir(os.path.join(root, "gen")):
+            generate_synthetic_dataset(root, subjects=("sphere",), size=256,
+                                       load_size=opt.load_size)
+        dopt = dataclasses.replace(
+            opt, dataroot=root, load_size_big=256, load_size_local=256)
+        dataset = TrainDataset(dopt, load_mesh=False)
+        params = None
+        opt_model = opt
+    else:
+        path = opt.load_netMR_checkpoint_path or ckpt.latest_path(
+            opt.checkpoints_path, opt.name)
+        if not os.path.exists(path):
+            raise SystemExit(f"checkpoint not found: {path}")
+        state = ckpt.load_checkpoint(path)
+        opt_model, _ = ckpt.restore_options(opt, state)
+        params = state["params"]
+        dataset = InferenceDataset(opt.dataroot, opt.load_size)
+
+    model = MultiResPIFu(cfg=opt_model.netMR, cfg_global=opt_model.netG)
+
+    if params is None:  # demo: fresh init
+        item = dataset[0]
+        calib = jnp.asarray(item["calib"], jnp.float32)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(item["img"])[None],
+            jnp.asarray(item["img_512"])[None]
+            if item["img_512"].ndim == 3 else jnp.asarray(item["img_512"]),
+            jnp.zeros((1, 1, 8, 3), jnp.float32), calib[None, None],
+            calib[None], jnp.zeros((1, 1, 8, 1), jnp.float32),
+        )
+
+    recon = Reconstructor(model, params, opt_model)
+    out_dir = os.path.join(opt.results_path, opt.name, "recon")
+    os.makedirs(out_dir, exist_ok=True)
+
+    start = 0 if opt.start_id < 0 else opt.start_id
+    end = len(dataset) if opt.end_id < 0 else opt.end_id
+    for i in range(start, min(end, len(dataset))):
+        data = dict(dataset[i])
+        if data["img_512"].ndim == 3:
+            data["img_512"] = data["img_512"][None]
+        save_path = os.path.join(
+            out_dir, f"result_{data['name']}_{opt.resolution}.obj")
+        print(save_path)
+        if opt.use_color == 0:
+            r = recon.gen_mesh(data, save_path, opt.resolution)
+        elif opt.use_color == 1:
+            r = recon.gen_mesh_img_color(data, save_path, opt.resolution)
+        elif opt.use_color == 2:
+            r = recon.gen_mesh_img_color(data, save_path, opt.resolution,
+                                         cleanup=True)
+        else:
+            raise SystemExit(f"unknown use_color {opt.use_color}")
+        print(f"  verts={len(r['verts'])} secs={r['secs']:.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""Training CLI (reference run_train.py / pretrain_netG / altertrain).
+
+Examples:
+    python -m rgbd_pifuhd_tpu.cli.run_train --dataroot ./traindata \
+        --stage fine --num_epoch 1
+    python -m rgbd_pifuhd_tpu.cli.run_train --stage coarse ...
+    python -m rgbd_pifuhd_tpu.cli.run_train --stage normals ...
+    python -m rgbd_pifuhd_tpu.cli.run_train --stage alternating ...
+"""
+
+from __future__ import annotations
+
+import sys
+
+from ..parallel import make_device_mesh
+from ..train.loop import (
+    pretrain_coarse,
+    pretrain_normals,
+    train_alternating,
+    train_fine,
+)
+from ..utils.options import build_arg_parser, parse_options, print_options
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    stage = "fine"
+    use_crop = False
+    if "--stage" in argv:
+        i = argv.index("--stage")
+        stage = argv[i + 1]
+        del argv[i:i + 2]
+    if "--use_crop" in argv:
+        use_crop = True
+        argv.remove("--use_crop")
+
+    opt = parse_options(argv)
+    print_options(opt)
+
+    import jax
+    mesh = make_device_mesh() if jax.device_count() > 1 else None
+
+    if stage == "fine":
+        train_fine(opt, mesh=mesh, use_crop=use_crop)
+    elif stage == "coarse":
+        pretrain_coarse(opt, mesh=mesh)
+    elif stage == "normals":
+        pretrain_normals(opt)
+    elif stage == "alternating":
+        train_alternating(opt)
+    elif stage == "eval":
+        from ..train.loop import evaluate_checkpoints
+        results = evaluate_checkpoints(opt)
+        for epoch, err in results.items():
+            print(f"epoch {epoch}: Err(occ:fine) = {err:.6f}")
+    else:
+        raise SystemExit(f"unknown --stage {stage!r}")
+
+
+if __name__ == "__main__":
+    main()

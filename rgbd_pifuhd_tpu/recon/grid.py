@@ -181,3 +181,159 @@ def eval_grid_two_phase(
 
     vol = lax.fori_loop(0, n_chunks, body, vol)
     return vol.reshape(res, res, res)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("query_fn", "resolution", "factor", "budget_cells",
+                     "cells_per_chunk", "pack_bits", "band_scale"),
+)
+def eval_grid_two_phase_sparse(
+    query_fn: QueryFn,
+    resolution: int,
+    calib_inv: jax.Array,
+    *query_args,
+    factor: int = 8,
+    budget_cells: int = 12288,
+    cells_per_chunk: int = 512,
+    pack_bits: int = 4,
+    band_scale: float = 4.0,
+):
+    """Two-phase evaluation returning a SPARSE volume representation.
+
+    Same computation as ``eval_grid_two_phase`` but instead of scattering
+    into a dense res^3 f32 array (which then costs a 4*res^3-byte
+    device->host transfer), returns:
+
+        corner_vals  [(n+1)^3] float32   — coarse corner lattice
+        top_idx      [K] int32           — refined cell linear ids
+        refined      [K, factor^3] uint8 — refined occupancy, quantized
+
+    ``densify_sparse_volume`` reassembles the dense NumPy volume on host.
+    For res=512/K=12288 this shrinks the transfer from 536 MB to ~7 MB —
+    essential over slow host links, harmless over PCIe.
+
+    Quantization: values are first BAND-CLAMPED around the iso-threshold —
+    ``q = clip((occ - 0.5) * band_scale + 0.5, 0, 1)`` — which discards
+    far-from-surface precision marching cubes never uses, then stored in
+    ``pack_bits`` (4 => two voxels/byte, ~3.4 MB total at K=12288; 8 =>
+    one byte/voxel).  Near-threshold resolution at 4 bits with
+    band_scale=4 is (1/15)/4 ~ 1.7% occupancy => sub-2% voxel vertex
+    jitter.  Saturated cells keep the correct side of the threshold, so
+    topology is exact.
+    """
+    res = resolution
+    n = res // factor
+    n1 = n + 1
+    cells_per_chunk = min(cells_per_chunk, n ** 3)
+    budget_cells = min(max(budget_cells, cells_per_chunk), n ** 3)
+    budget_cells = (budget_cells // cells_per_chunk) * cells_per_chunk
+
+    ii = jnp.arange(n1)
+    cx, cy, cz = jnp.meshgrid(ii, ii, ii, indexing="ij")
+    corner_idx = jnp.stack(
+        [cx.reshape(-1), cy.reshape(-1), cz.reshape(-1)], axis=-1
+    ) * factor
+    corner_idx = jnp.minimum(corner_idx, res - 1)
+    n_corners = n1 ** 3
+    n_pad = -(-n_corners // 1024) * 1024
+    corner_idx_p = jnp.concatenate(
+        [corner_idx,
+         jnp.broadcast_to(corner_idx[-1:], (n_pad - n_corners, 3))], axis=0)
+    world = _idx_to_world(corner_idx_p, res, calib_inv)
+    corner_vals = query_fn(world, *query_args)[:n_corners]
+
+    c = corner_vals.reshape(n1, n1, n1)
+    stack8 = jnp.stack(
+        [
+            c[:-1, :-1, :-1], c[:-1, :-1, 1:], c[:-1, 1:, :-1], c[:-1, 1:, 1:],
+            c[1:, :-1, :-1], c[1:, :-1, 1:], c[1:, 1:, :-1], c[1:, 1:, 1:],
+        ],
+        axis=0,
+    )
+    activity = (stack8.max(axis=0) - stack8.min(axis=0)).reshape(-1)
+    _, top_idx = lax.top_k(activity, budget_cells)
+
+    cbx = top_idx // (n * n)
+    cby = (top_idx // n) % n
+    cbz = top_idx % n
+    cell_base = jnp.stack([cbx, cby, cbz], axis=-1) * factor
+
+    f3 = factor ** 3
+    oi = jnp.arange(factor)
+    ox, oy, oz = jnp.meshgrid(oi, oi, oi, indexing="ij")
+    offsets = jnp.stack(
+        [ox.reshape(-1), oy.reshape(-1), oz.reshape(-1)], axis=-1)
+
+    n_chunks = budget_cells // cells_per_chunk
+
+    levels = (1 << pack_bits) - 1
+    per_byte = 8 // pack_bits
+    packed_width = f3 // per_byte
+
+    def quantize(occ):
+        band = jnp.clip((occ - 0.5) * band_scale + 0.5, 0.0, 1.0)
+        return jnp.round(band * levels).astype(jnp.uint8)
+
+    def body(i, refined):
+        s = i * cells_per_chunk
+        bases = lax.dynamic_slice(cell_base, (s, 0), (cells_per_chunk, 3))
+        pts_idx = (bases[:, None, :] + offsets[None, :, :]).reshape(-1, 3)
+        world = _idx_to_world(pts_idx, res, calib_inv)
+        occ = query_fn(world, *query_args).reshape(cells_per_chunk, f3)
+        q = quantize(occ)
+        if per_byte == 2:  # pack two 4-bit voxels per byte
+            q = q.reshape(cells_per_chunk, packed_width, 2)
+            q = q[:, :, 0] | (q[:, :, 1] << 4)
+        return lax.dynamic_update_slice(refined, q, (s, 0))
+
+    refined = lax.fori_loop(
+        0, n_chunks, body,
+        jnp.zeros((budget_cells, packed_width), jnp.uint8),
+    )
+    corner_q = quantize(corner_vals)
+    return corner_q, top_idx.astype(jnp.int32), refined
+
+
+def densify_sparse_volume(corner_vals, top_idx, refined, resolution: int,
+                          factor: int = 8, pack_bits: int = 4,
+                          band_scale: float = 4.0) -> np.ndarray:
+    """Host-side reassembly of the sparse two-phase result (NumPy)."""
+    res = resolution
+    n = res // factor
+    n1 = n + 1
+    levels = (1 << pack_bits) - 1
+
+    def unquantize(q):
+        band = q.astype(np.float32) / levels
+        return (band - 0.5) / band_scale + 0.5
+
+    c = unquantize(np.asarray(corner_vals)).reshape(n1, n1, n1)
+    top_idx = np.asarray(top_idx)
+    refined = np.asarray(refined)
+    if pack_bits == 4:  # unpack two voxels per byte
+        lo = refined & 0x0F
+        hi = refined >> 4
+        refined = np.stack([lo, hi], axis=-1).reshape(refined.shape[0], -1)
+
+    stack8 = np.stack(
+        [
+            c[:-1, :-1, :-1], c[:-1, :-1, 1:], c[:-1, 1:, :-1], c[:-1, 1:, 1:],
+            c[1:, :-1, :-1], c[1:, :-1, 1:], c[1:, 1:, :-1], c[1:, 1:, 1:],
+        ],
+        axis=0,
+    )
+    fill = 0.5 * (stack8.min(axis=0) + stack8.max(axis=0))   # [n, n, n]
+    vol = np.broadcast_to(
+        fill[:, None, :, None, :, None],
+        (n, factor, n, factor, n, factor),
+    ).reshape(res, res, res).copy()
+
+    cbx = top_idx // (n * n)
+    cby = (top_idx // n) % n
+    cbz = top_idx % n
+    blocks = unquantize(refined).reshape(-1, factor, factor, factor)
+    v6 = vol.reshape(n, factor, n, factor, n, factor)
+    # advanced indexing on dims 0/2/4 -> [K, f, f, f] view assignment
+    v6[cbx, :, cby, :, cbz, :] = blocks
+    return vol

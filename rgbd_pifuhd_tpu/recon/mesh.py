@@ -127,3 +127,38 @@ def compute_vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
         np.add.at(normals, faces[:, k], fn)
     lens = np.linalg.norm(normals, axis=1, keepdims=True)
     return (normals / np.maximum(lens, 1e-12)).astype(np.float32)
+
+
+def save_ply_points(path: str, points: np.ndarray,
+                    colors: np.ndarray | None = None) -> None:
+    """ASCII PLY point-cloud dump (debugging aid; replaces the reference's
+    traindata/lib/sample_util.py save_samples_truncted_prob)."""
+    points = np.asarray(points, dtype=np.float64)
+    n = len(points)
+    has_c = colors is not None
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {n}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        if has_c:
+            f.write("property uchar red\nproperty uchar green\n"
+                    "property uchar blue\n")
+        f.write("end_header\n")
+        if has_c:
+            c255 = np.clip(np.asarray(colors) * 255, 0, 255).astype(int)
+            for p, c in zip(points, c255):
+                f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f} "
+                        f"{c[0]} {c[1]} {c[2]}\n")
+        else:
+            for p in points:
+                f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f}\n")
+
+
+def save_occupancy_samples_ply(path: str, points: np.ndarray,
+                               prob: np.ndarray) -> None:
+    """Red = inside (prob > 0.5), green = outside (sample_util parity)."""
+    prob = np.asarray(prob).reshape(-1)
+    colors = np.stack(
+        [prob > 0.5, prob <= 0.5, np.zeros_like(prob)], axis=1
+    ).astype(np.float64)
+    save_ply_points(path, points, colors)

@@ -31,7 +31,13 @@ from ..models.coarse import CoarsePIFu
 from ..models.multires import MultiResPIFu
 from ..ops import geometry as geom
 from ..utils.options import Options
-from .grid import eval_grid_dense, eval_grid_two_phase, create_grid_transform
+from .grid import (
+    eval_grid_dense,
+    eval_grid_two_phase,
+    eval_grid_two_phase_sparse,
+    densify_sparse_volume,
+    create_grid_transform,
+)
 from .marching import marching_tetrahedra
 from .mesh import save_obj_with_color, keep_largest_component
 
@@ -103,11 +109,27 @@ class Reconstructor:
     # -------------------------------------------------------------- volume
     def occupancy_volume(self, l_feats, g_feats, calib: jax.Array,
                          resolution: int, use_octree: bool = True,
-                         budget_cells: int | None = None) -> np.ndarray:
+                         budget_cells: int | None = None,
+                         sparse_transfer: bool = True) -> np.ndarray:
+        """Evaluate the res^3 occupancy volume on device.
+
+        ``sparse_transfer`` ships only the coarse corner lattice + refined
+        cells (uint8) instead of the dense f32 volume — ~75x less
+        device->host traffic at 512^3 (see eval_grid_two_phase_sparse).
+        """
         calib_inv = jnp.linalg.inv(calib)
         if use_octree:
             n = resolution // 8
-            budget = budget_cells or max(512, (n ** 3) * 3 // 16)
+            budget = budget_cells or min(
+                getattr(self.opt, "num_refine_cells", 12288), n ** 3)
+            if sparse_transfer:
+                corner, top_idx, refined = eval_grid_two_phase_sparse(
+                    self._query, resolution, calib_inv,
+                    self.params, l_feats, g_feats, calib,
+                    factor=8, budget_cells=budget,
+                )
+                return densify_sparse_volume(
+                    corner, top_idx, refined, resolution, factor=8)
             vol = eval_grid_two_phase(
                 self._query, resolution, calib_inv,
                 self.params, l_feats, g_feats, calib,

@@ -1,0 +1,327 @@
+"""Epoch-driven training drivers.
+
+Parity map (SURVEY.md sections 2.2/3):
+- ``train_fine``          = reference train.py:62-247 (netMR training)
+- ``pretrain_coarse``     = pretrain_netG.train_netG (py:231-344)
+- ``pretrain_normals``    = pretrain_netG.train_nml  (py:68-229)
+- ``train_alternating``   = altertrain.py:11-38 curriculum
+- ``evaluate_checkpoints``= eval.py:61-222
+
+All steps are jitted once and reused; with a device mesh the batch is
+sharded over 'data' (the data parallelism the reference never enabled).
+Checkpoints keep the reference's latest/epoch-N naming and embed the full
+option namespaces.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..data.datasets import TrainDataset, EvalDataset
+from ..models.coarse import CoarsePIFu
+from ..models.multires import MultiResPIFu
+from ..models.pix2pix import GlobalGenerator
+from ..models.vgg import VGG16Features, make_perceptual_loss
+from ..utils import checkpoint as ckpt
+from ..utils.logging import TrainLogger
+from ..utils.options import Options
+from .trainers import (
+    make_coarse_train_step,
+    make_fine_train_step,
+    make_lr_schedule,
+    make_normal_train_step,
+    make_optimizer,
+    shard_train_step,
+)
+
+
+# ------------------------------------------------------------------ collate
+def collate_fine(items: list[dict]) -> dict:
+    """Dataset items -> fine-training batch (B1 = len(items), B2 = 1)."""
+    return {
+        "images_local": jnp.stack([i["img"] for i in items]),
+        "images_global": jnp.stack([i["img_512"] for i in items]),
+        "points": jnp.stack([i["samples"][None] for i in items]),
+        "calib_local": jnp.stack([i["calib_local"][None] for i in items]),
+        "calib_global": jnp.stack([i["calib"] for i in items]),
+        "labels": jnp.stack([i["labels"][None] for i in items]),
+    }
+
+
+def collate_coarse(items: list[dict]) -> dict:
+    return {
+        "images": jnp.stack([i["img_512"] for i in items]),
+        "points": jnp.stack([i["samples"] for i in items]),
+        "calibs": jnp.stack([i["calib"] for i in items]),
+        "labels": jnp.stack([i["labels"] for i in items]),
+    }
+
+
+def _batches(dataset, batch_size: int, collate: Callable, seed: int,
+             shuffle: bool = True):
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    for s in range(0, len(order) - batch_size + 1, batch_size):
+        yield collate([dataset[int(i)] for i in order[s:s + batch_size]])
+
+
+# -------------------------------------------------------------- fine train
+def build_multires(opt: Options) -> MultiResPIFu:
+    return MultiResPIFu(cfg=opt.netMR, cfg_global=opt.netG,
+                        train_full_pifu=opt.train_full_pifu)
+
+
+def init_multires_params(opt: Options, model: MultiResPIFu, item: dict):
+    calib = jnp.asarray(item["calib"], jnp.float32)
+    return model.init(
+        jax.random.PRNGKey(opt.seed),
+        jnp.asarray(item["img"])[None],
+        jnp.asarray(item["img_512"])[None],
+        jnp.asarray(item["samples"])[None, None],
+        jnp.asarray(item["calib_local"], jnp.float32)[None, None],
+        calib[None],
+        jnp.asarray(item["labels"])[None, None],
+    )
+
+
+def train_fine(opt: Options, mesh=None, max_steps: int | None = None,
+               use_crop: bool = False, params=None) -> Any:
+    """netMR training driver (reference train.py parity)."""
+    dataset = TrainDataset(opt, use_crop=use_crop, seed=opt.seed)
+    if len(dataset) < opt.batch_size:
+        raise RuntimeError(f"dataset too small: {len(dataset)}")
+    model = build_multires(opt)
+
+    if params is None:
+        params = init_multires_params(opt, model, dataset[0])
+        if opt.load_netG_checkpoint_path:
+            g = ckpt.load_checkpoint(opt.load_netG_checkpoint_path)
+            params["params"]["netG"] = g["params"]["params"]
+        if opt.continue_train:
+            path = (
+                ckpt.epoch_path(opt.checkpoints_path, opt.name,
+                                opt.resume_epoch)
+                if opt.resume_epoch >= 0
+                else ckpt.latest_path(opt.checkpoints_path, opt.name)
+            )
+            if os.path.exists(path):
+                params = ckpt.load_checkpoint(path)["params"]
+
+    steps_per_epoch = max(len(dataset) // opt.batch_size, 1)
+    sched = make_lr_schedule(opt.learning_rate, opt.schedule, opt.gamma,
+                             steps_per_epoch)
+    tx = make_optimizer(opt.optimizer, sched)
+    opt_state = tx.init(params)
+
+    step_fn = make_fine_train_step(model, tx)
+    step = (shard_train_step(step_fn, mesh) if mesh is not None
+            else jax.jit(step_fn))
+
+    logger = TrainLogger(f"{opt.name}_netMR")
+    global_step = 0
+    for epoch in range(opt.num_epoch):
+        for batch in _batches(dataset, opt.batch_size, collate_fine,
+                              opt.seed + epoch):
+            with logger.timer.phase("net"):
+                params, opt_state, metrics = step(params, opt_state, batch)
+                loss = float(metrics["loss"])
+            logger.record(loss)
+            if global_step % opt.freq_show == 0:
+                logger.log_iter(epoch, global_step, steps_per_epoch
+                                * opt.num_epoch, loss,
+                                float(sched(global_step)))
+            global_step += 1
+            if max_steps is not None and global_step >= max_steps:
+                break
+        logger.save_epoch_errors(epoch)
+        ckpt.save_checkpoint(
+            ckpt.latest_path(opt.checkpoints_path, opt.name), params,
+            opt, opt_netG=opt, epoch=epoch)
+        if epoch % opt.freq_save == 0:
+            ckpt.save_checkpoint(
+                ckpt.epoch_path(opt.checkpoints_path, opt.name, epoch),
+                params, opt, opt_netG=opt, epoch=epoch)
+        if max_steps is not None and global_step >= max_steps:
+            break
+    return params
+
+
+# ----------------------------------------------------------- coarse pretrain
+def pretrain_coarse(opt: Options, mesh=None, max_steps: int | None = None,
+                    params=None) -> Any:
+    dataset = TrainDataset(opt, seed=opt.seed)
+    model = CoarsePIFu(opt.netG)
+    item = dataset[0]
+    if params is None:
+        params = model.init(
+            jax.random.PRNGKey(opt.seed),
+            jnp.asarray(item["img_512"])[None],
+            jnp.asarray(item["samples"])[None],
+            jnp.asarray(item["calib"], jnp.float32)[None],
+            jnp.asarray(item["labels"])[None],
+        )
+    steps_per_epoch = max(len(dataset) // opt.batch_size, 1)
+    sched = make_lr_schedule(opt.learning_rate, opt.schedule, opt.gamma,
+                             steps_per_epoch)
+    tx = make_optimizer(opt.optimizer, sched)
+    opt_state = tx.init(params)
+    step_fn = make_coarse_train_step(model, tx, gamma=opt.gamma
+                                     if opt.gamma < 1 else 0.5)
+    step = (shard_train_step(step_fn, mesh) if mesh is not None
+            else jax.jit(step_fn))
+
+    logger = TrainLogger(f"{opt.name}_netG")
+    global_step = 0
+    for epoch in range(opt.num_epoch):
+        for batch in _batches(dataset, opt.batch_size, collate_coarse,
+                              opt.seed + epoch):
+            with logger.timer.phase("net"):
+                params, opt_state, metrics = step(params, opt_state, batch)
+                loss = float(metrics["loss"])
+            logger.record(loss)
+            if global_step % opt.freq_show == 0:
+                logger.log_iter(epoch, global_step,
+                                steps_per_epoch * opt.num_epoch, loss,
+                                float(sched(global_step)))
+            global_step += 1
+            if max_steps is not None and global_step >= max_steps:
+                break
+        logger.save_epoch_errors(epoch)
+        ckpt.save_checkpoint(
+            ckpt.latest_path(opt.checkpoints_path, f"{opt.name}_netG"),
+            params, opt, epoch=epoch)
+        if max_steps is not None and global_step >= max_steps:
+            break
+    return params
+
+
+# ----------------------------------------------------------- normal pretrain
+def pretrain_normals(opt: Options, coarse_params=None,
+                     max_steps: int | None = None,
+                     use_vgg: bool = True) -> Any:
+    """Train netF and netB (pretrain_netG.train_nml parity).
+
+    Returns coarse-model params with the trained netF/netB subtrees.
+    The perceptual term uses VGG16 features (pretrained weights when
+    available via VGG16Features.load_torch_weights; random otherwise).
+    """
+    dataset = TrainDataset(opt, load_mesh=False, seed=opt.seed)
+    gen = GlobalGenerator(output_nc=3, ngf=opt.netG.nml_ngf,
+                          n_downsampling=opt.netG.nml_n_downsampling,
+                          n_blocks=opt.netG.nml_n_blocks)
+    item = dataset[0]
+    images = jnp.asarray(item["img"][0])[None]  # [1, H, W, 6]
+
+    perceptual = None
+    if use_vgg:
+        vgg_params = VGG16Features.init_params(opt.seed)
+        perceptual = make_perceptual_loss(vgg_params)
+
+    out_params = {"params": dict(coarse_params["params"])} if coarse_params \
+        else None
+    results = {}
+    for net_name, target_key, style_key in (
+        ("netF", "imF", "Fstyle"), ("netB", "imB", "Bstyle"),
+    ):
+        if out_params is not None and net_name in out_params["params"]:
+            params = {"params": out_params["params"][net_name]}
+        else:
+            params = gen.init(jax.random.PRNGKey(opt.seed), images)
+        tx = make_optimizer("adam", opt.learning_rate)
+        opt_state = tx.init(params)
+        step = jax.jit(make_normal_train_step(
+            lambda p, x: gen.apply(p, x), tx, perceptual))
+
+        logger = TrainLogger(f"{opt.name}_{net_name}")
+        global_step = 0
+        for epoch in range(opt.num_epoch):
+            for i in range(len(dataset)):
+                it = dataset[i]
+                batch = {
+                    "images": jnp.asarray(it["img"][0])[None],
+                    "target": jnp.asarray(it[target_key])[None],
+                    "style": jnp.asarray(it[style_key])[None],
+                }
+                with logger.timer.phase("net"):
+                    params, opt_state, m = step(params, opt_state, batch)
+                logger.record(float(m["loss"]))
+                global_step += 1
+                if max_steps is not None and global_step >= max_steps:
+                    break
+            logger.save_epoch_errors(epoch)
+            if max_steps is not None and global_step >= max_steps:
+                break
+        results[net_name] = params
+        if out_params is not None:
+            out_params["params"][net_name] = params["params"]
+
+    if out_params is not None:
+        ckpt.save_checkpoint(
+            ckpt.latest_path(opt.checkpoints_path, f"{opt.name}_netG"),
+            out_params, opt, epoch=0)
+        return out_params
+    return results
+
+
+# ------------------------------------------------------------- alternating
+def train_alternating(opt: Options, cycles: int = 10,
+                      nml_epochs: int = 5, coarse_epochs: int = 5,
+                      fine_epochs: int = 10, max_steps=None) -> Any:
+    """altertrain.py curriculum: {normals -> coarse -> fine(crops)} x cycles."""
+    import dataclasses
+
+    coarse_params = None
+    fine_params = None
+    for cycle in range(cycles):
+        o = dataclasses.replace(opt, num_epoch=nml_epochs)
+        coarse_params = coarse_params or pretrain_coarse(
+            dataclasses.replace(opt, num_epoch=0), max_steps=0)
+        coarse_params = pretrain_normals(o, coarse_params,
+                                         max_steps=max_steps)
+        o = dataclasses.replace(opt, num_epoch=coarse_epochs)
+        coarse_params = pretrain_coarse(o, params=coarse_params,
+                                        max_steps=max_steps)
+        o = dataclasses.replace(opt, num_epoch=fine_epochs)
+        model = build_multires(o)
+        ds = TrainDataset(o, seed=o.seed)
+        if fine_params is None:
+            fine_params = init_multires_params(o, model, ds[0])
+        fine_params["params"]["netG"] = coarse_params["params"]
+        fine_params = train_fine(o, use_crop=True, params=fine_params,
+                                 max_steps=max_steps)
+    return fine_params
+
+
+# ------------------------------------------------------------------ eval
+def evaluate_checkpoints(opt: Options, max_items: int | None = None) -> dict:
+    """eval.py parity: forward-only loss over saved epoch checkpoints."""
+    dataset = EvalDataset(opt)
+    model = build_multires(opt)
+    results = {}
+    fwd = jax.jit(lambda p, b: model.apply(
+        p, b["images_local"], b["images_global"], b["points"],
+        b["calib_local"], b["calib_global"], b["labels"], train=False)[0])
+
+    epoch = 0
+    while True:
+        path = ckpt.epoch_path(opt.checkpoints_path, opt.name, epoch)
+        if not os.path.exists(path):
+            break
+        params = ckpt.load_checkpoint(path)["params"]
+        errs = []
+        n = min(len(dataset), max_items or len(dataset))
+        for i in range(n):
+            batch = collate_fine([dataset[i]])
+            errs.append(float(fwd(params, batch)["occ_fine"]))
+        results[epoch] = float(np.mean(errs))
+        np.save(os.path.join(opt.checkpoints_path,
+                             f"{opt.name}_eval_epoch_{epoch}.npy"),
+                np.asarray(errs))
+        epoch += opt.freq_save
+    return results

@@ -34,10 +34,14 @@ def save_checkpoint(
     epoch: int = 0,
     opt_state: Any = None,
 ) -> None:
+    import json
+
+    # msgpack cannot serialize tuples; JSON round-trip turns them into
+    # lists (Options.from_dict converts back to tuples on restore)
     payload = {
         "params": params,
-        "opt": opt.to_dict(),
-        "opt_netG": (opt_netG or opt).to_dict(),
+        "opt": json.loads(json.dumps(opt.to_dict())),
+        "opt_netG": json.loads(json.dumps((opt_netG or opt).to_dict())),
         "epoch": epoch,
     }
     if opt_state is not None:

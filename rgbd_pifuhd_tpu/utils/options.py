@@ -131,6 +131,7 @@ class Options:
     use_compose: bool = False
     use_octree: bool = True
     num_samples_query: int = 262144  # points per device batch in grid eval
+    num_refine_cells: int = 12288   # two-phase refinement budget (64^3 cells)
 
     # Sampling
     num_sample_inout: int = 300

@@ -134,3 +134,44 @@ def test_synthetic_tree_and_datasets(tmp_path, rng):
 
     ev = EvalDataset(opt)
     assert len(ev) == 1 and "samples" in ev[0]
+
+
+def test_composite_over_backgrounds(tmp_path):
+    from rgbd_pifuhd_tpu.data.composite import composite_over_backgrounds
+
+    root = os.path.join(tmp_path, "td")
+    generate_synthetic_dataset(root, subjects=("sphere",), size=64,
+                               load_size=64)
+    written = composite_over_backgrounds(root, per_subject=2, seed=1)
+    assert len(written) == 2
+    import cv2
+    img = cv2.imread(written[0])
+    assert img.shape == (64, 64, 3)
+
+
+def test_turntable_frames(tmp_path):
+    from rgbd_pifuhd_tpu.data.synthetic import make_icosphere
+    from rgbd_pifuhd_tpu.recon.turntable import render_turntable_frames
+
+    v, f = make_icosphere(2, 1.0)
+    frames = list(render_turntable_frames(v.astype(np.float32),
+                                          f.astype(np.int32),
+                                          size=64, n_frames=3))
+    assert len(frames) == 3
+    assert frames[0].shape == (64, 64, 3) and frames[0].dtype == np.uint8
+    # the sphere must actually appear (non-white pixels)
+    assert (frames[0] < 250).any()
+
+
+def test_ply_dump(tmp_path):
+    from rgbd_pifuhd_tpu.recon.mesh import save_occupancy_samples_ply
+
+    pts = np.random.default_rng(0).uniform(-1, 1, (20, 3))
+    prob = np.linspace(0, 1, 20)
+    path = os.path.join(tmp_path, "s.ply")
+    save_occupancy_samples_ply(path, pts, prob)
+    text = open(path).read()
+    assert "element vertex 20" in text
+    body = text.split("end_header\n")[1].strip().split("\n")
+    assert len(body) == 20
+    assert all(l.endswith(("255 0 0", "0 255 0")) for l in body)

@@ -144,3 +144,32 @@ def test_reconstructor_machinery(rng, tmp_path):
     assert out["verts"].shape[1] == 3
     v, f, c = load_obj(os.path.join(tmp_path, "out.obj"))
     assert len(v) == len(out["verts"]) and c is not None
+
+
+def test_sparse_two_phase_matches_dense():
+    from rgbd_pifuhd_tpu.recon.grid import (
+        eval_grid_two_phase_sparse, densify_sparse_volume)
+    res = 64
+    center = jnp.array([0.1, -0.05, 0.0])
+    calib_inv = jnp.eye(4)
+    dense = np.asarray(
+        eval_grid_dense(sphere_occ, res, calib_inv, center, 0.5))
+    corner, top_idx, refined = eval_grid_two_phase_sparse(
+        sphere_occ, res, calib_inv, center, 0.5,
+        factor=8, budget_cells=256, cells_per_chunk=64)
+    vol = densify_sparse_volume(corner, top_idx, refined, res, factor=8)
+    # 4-bit band quantization: step = (1/15)/band_scale(4) ~ 0.0167 in
+    # occupancy units inside the band |occ - 0.5| < 0.125
+    near = np.abs(dense - 0.5) < 0.1
+    assert near.sum() > 50
+    np.testing.assert_allclose(vol[near], dense[near], atol=0.01)
+    # topology (threshold side) must be exact everywhere
+    assert ((vol > 0.5) == (dense > 0.5)).mean() > 0.999
+
+    # 8-bit path too
+    corner, top_idx, refined = eval_grid_two_phase_sparse(
+        sphere_occ, res, calib_inv, center, 0.5,
+        factor=8, budget_cells=256, cells_per_chunk=64, pack_bits=8)
+    vol8 = densify_sparse_volume(corner, top_idx, refined, res, factor=8,
+                                 pack_bits=8)
+    np.testing.assert_allclose(vol8[near], dense[near], atol=0.002)

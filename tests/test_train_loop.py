@@ -1,0 +1,110 @@
+"""End-to-end training-driver tests on synthetic data (tiny configs)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from rgbd_pifuhd_tpu.data.synthetic import generate_synthetic_dataset
+from rgbd_pifuhd_tpu.utils.options import Options
+from tests.test_models_pifu import tiny_global, tiny_local
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("data") / "traindata")
+    generate_synthetic_dataset(root, subjects=("sphere", "capsule"),
+                               size=128, load_size=128)
+    return root
+
+
+def make_opt(root, tmp_path):
+    return Options(
+        dataroot=root, load_size=128, load_size_big=128, load_size_local=64,
+        num_sample_inout=64, sigma=5.0, batch_size=1, num_epoch=1,
+        learning_rate=1e-3, netG=tiny_global(), netMR=tiny_local(),
+        checkpoints_path=os.path.join(tmp_path, "ckpt"),
+        name="t", freq_save=1,
+    )
+
+
+def test_train_fine_reduces_loss(synth_root, tmp_path):
+    from rgbd_pifuhd_tpu.train.loop import train_fine
+    from rgbd_pifuhd_tpu.utils.logging import load_error_history
+
+    opt = make_opt(synth_root, str(tmp_path))
+    params = train_fine(opt, max_steps=2)
+    assert params is not None
+    # checkpoint written with reference naming
+    assert os.path.exists(os.path.join(str(tmp_path), "ckpt",
+                                       "t_train_latest"))
+    hist = load_error_history("./train_result", "t_netMR")
+    assert hist and np.isfinite(hist[-1]).all()
+
+
+def test_pretrain_coarse_runs(synth_root, tmp_path):
+    from rgbd_pifuhd_tpu.train.loop import pretrain_coarse
+
+    opt = make_opt(synth_root, str(tmp_path))
+    params = pretrain_coarse(opt, max_steps=2)
+    assert "image_filter" in params["params"]
+
+
+def test_pretrain_normals_runs(synth_root, tmp_path):
+    from rgbd_pifuhd_tpu.train.loop import pretrain_normals
+    import dataclasses
+
+    opt = make_opt(synth_root, str(tmp_path))
+    # enable normal nets on the tiny global config
+    opt.netG = dataclasses.replace(
+        tiny_global(True), nml_ngf=8, nml_n_downsampling=2, nml_n_blocks=1)
+    out = pretrain_normals(opt, max_steps=1, use_vgg=False)
+    assert "netF" in out and "netB" in out
+
+
+def test_checkpoint_roundtrip_and_opt_restore(synth_root, tmp_path):
+    from rgbd_pifuhd_tpu.utils import checkpoint as ckpt
+    from rgbd_pifuhd_tpu.train.loop import build_multires, \
+        init_multires_params
+    from rgbd_pifuhd_tpu.data.datasets import TrainDataset
+
+    opt = make_opt(synth_root, str(tmp_path))
+    ds = TrainDataset(opt)
+    model = build_multires(opt)
+    params = init_multires_params(opt, model, ds[0])
+
+    path = os.path.join(str(tmp_path), "ck")
+    ckpt.save_checkpoint(path, params, opt, epoch=3)
+    state = ckpt.load_checkpoint(path)
+    assert state["epoch"] == 3
+
+    # restore-opt semantics: checkpoint wins except the 4 kept fields
+    cli = Options(dataroot="/other", resolution=64, results_path="/res",
+                  load_size=256)
+    restored, opt_g = ckpt.restore_options(cli, state)
+    assert restored.dataroot == "/other"          # kept from CLI
+    assert restored.resolution == 64              # kept from CLI
+    assert restored.num_sample_inout == opt.num_sample_inout  # from ckpt
+    assert restored.netG.hg_dim == opt.netG.hg_dim
+
+    # params round-trip exactly
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(state["params"])
+    assert all(np.allclose(a, b) for a, b in zip(flat_a, flat_b))
+
+
+def test_metrics():
+    import jax.numpy as jnp
+    from rgbd_pifuhd_tpu.utils.metrics import compute_acc, chamfer_l2
+
+    pred = jnp.array([0.9, 0.8, 0.2, 0.1])
+    gt = jnp.array([1.0, 0.0, 1.0, 0.0])
+    iou, prec, rec = compute_acc(pred, gt)
+    assert float(iou) == pytest.approx(1 / 3)
+    assert float(prec) == pytest.approx(0.5)
+    assert float(rec) == pytest.approx(0.5)
+
+    a = jnp.zeros((10, 3))
+    assert float(chamfer_l2(a, a)) == 0.0
