@@ -80,7 +80,10 @@ class TrainDataset:
         self.is_train = phase == "train"
         self.use_crop = use_crop
         self.load_mesh = load_mesh
-        self.b_min, self.b_max = np.asarray(b_min), np.asarray(b_max)
+        if isinstance(b_min, str):
+            self.b_min, self.b_max = b_min, b_max  # 'auto'
+        else:
+            self.b_min, self.b_max = np.asarray(b_min), np.asarray(b_max)
         self.rng = np.random.default_rng(seed)
 
         gen_dir = os.path.join(self.root, "gen")
@@ -169,20 +172,27 @@ class TrainDataset:
             "imB": normalize_image(resize_image(imB, big)),
             "calib": calib.astype(np.float32),
             "calib_local": calib_local.astype(np.float32),
-            "b_min": self.b_min,
-            "b_max": self.b_max,
+            "b_min": None if isinstance(self.b_min, str) else self.b_min,
+            "b_max": None if isinstance(self.b_max, str) else self.b_max,
         }
         f_style, b_style = self._load_styles(big)
         res["Fstyle"], res["Bstyle"] = f_style, b_style
 
         if self.load_mesh and subject in self.meshes:
             v, fc = self.meshes[subject]
+            if isinstance(self.b_min, str):  # 'auto': per-subject box
+                lo, hi = v.min(axis=0), v.max(axis=0)
+                margin = 0.15 * (hi - lo)
+                b_min, b_max = lo - margin, hi + margin
+            else:
+                b_min, b_max = self.b_min, self.b_max
             samples, labels = sample_occupancy_points(
-                v, fc, o.num_sample_inout, self.b_min, self.b_max,
+                v, fc, o.num_sample_inout, b_min, b_max,
                 self.rng, sigma=o.sigma, tester=self.testers[subject],
             )
             res["samples"] = samples
             res["labels"] = labels
+            res["b_min"], res["b_max"] = np.asarray(b_min), np.asarray(b_max)
         return res
 
 

@@ -56,6 +56,12 @@ def load_marching():
         lib = None
         if so:
             lib = ctypes.CDLL(so)
+            out_args = [
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
             lib.mt_run.restype = ctypes.c_int
             lib.mt_run.argtypes = [
                 ctypes.POINTER(ctypes.c_float),   # vol
@@ -63,11 +69,18 @@ def load_marching():
                 ctypes.c_float,                    # thresh
                 ctypes.POINTER(ctypes.c_int8),     # case table
                 ctypes.c_int,                      # n_threads
-                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
-                ctypes.POINTER(ctypes.c_int64),
-                ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
-                ctypes.POINTER(ctypes.c_int64),
-            ]
+            ] + out_args
+            lib.mt_run_cells.restype = ctypes.c_int
+            lib.mt_run_cells.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_float,
+                ctypes.POINTER(ctypes.c_int8),
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int32),   # cells [K, 3]
+                ctypes.c_int64,                    # n_cells
+                ctypes.c_int,                      # factor
+            ] + out_args
             lib.mt_free.argtypes = [ctypes.c_void_p]
         _CACHE["marching"] = lib
         return lib

@@ -122,6 +122,52 @@ def _case_table_packed() -> np.ndarray:
     return packed
 
 
+def marching_tetrahedra_cells(
+    volume: np.ndarray, cell_origins: np.ndarray, factor: int = 8,
+    threshold: float = 0.5,
+):
+    """Masked extraction: only cubes inside (or one cube before) the given
+    cells are scanned — the companion of the sparse two-phase evaluator,
+    which already knows where the surface can be.  ~factor^3/active
+    speedup over the full scan.  Falls back to the full NumPy pass without
+    the native library.
+
+    Args:
+        cell_origins: ``[K, 3]`` voxel origins of refined cells.
+    """
+    from ..native import load_marching
+    import ctypes
+
+    lib = load_marching()
+    if lib is None:
+        return marching_tetrahedra(volume, threshold, use_native=False)
+    vol = np.ascontiguousarray(volume, dtype=np.float32)
+    cells = np.ascontiguousarray(cell_origins, dtype=np.int32)
+    table = np.ascontiguousarray(_case_table_packed())
+    vp = ctypes.POINTER(ctypes.c_float)()
+    fp = ctypes.POINTER(ctypes.c_int32)()
+    nv = ctypes.c_int64()
+    nf = ctypes.c_int64()
+    rc = lib.mt_run_cells(
+        vol.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        *[ctypes.c_int64(s) for s in vol.shape],
+        ctypes.c_float(threshold),
+        table.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        0,
+        cells.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(len(cells)),
+        ctypes.c_int(factor),
+        ctypes.byref(vp), ctypes.byref(nv), ctypes.byref(fp), ctypes.byref(nf),
+    )
+    if rc != 0:
+        return marching_tetrahedra(volume, threshold, use_native=False)
+    verts = np.ctypeslib.as_array(vp, shape=(nv.value, 3)).copy()
+    faces = np.ctypeslib.as_array(fp, shape=(nf.value, 3)).copy()
+    lib.mt_free(vp)
+    lib.mt_free(fp)
+    return verts, faces
+
+
 def _marching_native(volume: np.ndarray, threshold: float):
     """C++ kernel path; returns None if the native lib is unavailable."""
     from ..native import load_marching

@@ -38,7 +38,7 @@ from .grid import (
     densify_sparse_volume,
     create_grid_transform,
 )
-from .marching import marching_tetrahedra
+from .marching import marching_tetrahedra, marching_tetrahedra_cells
 from .mesh import save_obj_with_color, keep_largest_component
 
 
@@ -48,6 +48,41 @@ def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
 
 def _bucket(n: int, quantum: int = 65536) -> int:
     return max(quantum, -(-n // quantum) * quantum)
+
+
+def _surface_cells(top_idx: np.ndarray, vol: np.ndarray, n: int,
+                   factor: int) -> np.ndarray:
+    """Cell voxel-origins worth scanning for surface: the refined top-K
+    cells plus any coarse cell whose fill sign differs from a face
+    neighbor (budget-overflow safety)."""
+    marks = np.zeros((n, n, n), dtype=bool)
+    marks.reshape(-1)[np.asarray(top_idx)] = True
+    res = vol.shape[0]
+    # corner-sample sign disagreement (the evaluator's own activity test)
+    ci = np.minimum(np.arange(n + 1) * factor, res - 1)
+    c = (vol[np.ix_(ci, ci, ci)] > 0.5)
+    agree_in = np.ones((n, n, n), dtype=bool)
+    agree_out = np.ones((n, n, n), dtype=bool)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                s = c[dx:n + dx, dy:n + dy, dz:n + dz]
+                agree_in &= s
+                agree_out &= ~s
+    marks |= ~(agree_in | agree_out)
+    # cell-center sign changes across faces (fill-boundary crossings)
+    h = factor // 2
+    sign = vol[h::factor, h::factor, h::factor] > 0.5
+    for ax in range(3):
+        d = np.diff(sign, axis=ax) != 0
+        lo = [slice(None)] * 3
+        hi = [slice(None)] * 3
+        lo[ax] = slice(0, n - 1)
+        hi[ax] = slice(1, n)
+        marks[tuple(lo)] |= d
+        marks[tuple(hi)] |= d
+    origins = np.argwhere(marks).astype(np.int32) * factor
+    return origins
 
 
 class Reconstructor:
@@ -128,8 +163,10 @@ class Reconstructor:
                     self.params, l_feats, g_feats, calib,
                     factor=8, budget_cells=budget,
                 )
-                return densify_sparse_volume(
+                vol = densify_sparse_volume(
                     corner, top_idx, refined, resolution, factor=8)
+                cells = _surface_cells(np.asarray(top_idx), vol, n, 8)
+                return vol, cells
             vol = eval_grid_two_phase(
                 self._query, resolution, calib_inv,
                 self.params, l_feats, g_feats, calib,
@@ -140,7 +177,7 @@ class Reconstructor:
                 self._query, resolution, calib_inv,
                 self.params, l_feats, g_feats, calib,
             )
-        return np.asarray(vol)  # THE one device->host transfer
+        return np.asarray(vol), None  # THE one device->host transfer
 
     # ---------------------------------------------------------------- mesh
     def reconstruct(self, data: dict, resolution: int | None = None,
@@ -151,9 +188,14 @@ class Reconstructor:
 
         l_feats, g_feats = self.encode(data["img"], data["img_512"])
         calib = jnp.asarray(data["calib"], jnp.float32)
-        vol = self.occupancy_volume(l_feats, g_feats, calib, res, use_octree)
+        vol, cells = self.occupancy_volume(l_feats, g_feats, calib, res,
+                                           use_octree)
 
-        verts_idx, faces = marching_tetrahedra(vol, thresh)
+        if cells is not None:
+            verts_idx, faces = marching_tetrahedra_cells(
+                vol, cells, factor=8, threshold=thresh)
+        else:
+            verts_idx, faces = marching_tetrahedra(vol, thresh)
         if len(verts_idx) == 0:
             raise RuntimeError("marching cubes produced an empty mesh")
 
@@ -202,15 +244,32 @@ class Reconstructor:
     def gen_mesh_img_color(self, data: dict, save_path: str, resolution=None,
                            use_octree=None, cleanup: bool = False) -> dict:
         """Image-colored mesh (gen_mesh_imgColor/_plus,
-        reconstruction.py:77-187)."""
+        reconstruction.py:77-187).
+
+        ``cleanup=True`` is the _plus variant: keep the largest connected
+        component and inpaint back-facing vertex colors from the silhouette
+        boundary (reconstruction.py:176-183).
+        """
         t0 = time.time()
         verts, faces, feats = self.reconstruct(data, resolution, use_octree)
         colors = self.color_by_image(verts, data["img"][0], data["calib"])
+        # projected coords used by the back-color inpainting
+        xyz_proj = None
+        if cleanup:
+            xyz_proj = np.asarray(geom.orthogonal(
+                jnp.asarray(verts)[None],
+                jnp.asarray(data["calib"], jnp.float32)[None]))[0]
         if "calib_world" in data and data["calib_world"] is not None:
             cw_inv = np.linalg.inv(np.asarray(data["calib_world"], np.float64))
             verts = verts @ cw_inv[:3, :3].T + cw_inv[:3, 3]
         if cleanup:
-            verts, faces, colors = keep_largest_component(verts, faces, colors)
+            keep_mask = np.ones(len(verts), dtype=bool)
+            verts2, faces, colors2 = keep_largest_component(
+                verts, faces, np.concatenate(
+                    [colors, xyz_proj, np.arange(len(verts))[:, None]], 1))
+            verts = verts2
+            colors, xyz_proj = colors2[:, :3], colors2[:, 3:6]
+            colors = estimate_back_colors(colors, xyz_proj)
         save_obj_with_color(save_path, verts, faces, colors)
         self._save_montage(data, feats, save_path)
         return {"verts": verts, "faces": faces, "secs": time.time() - t0}

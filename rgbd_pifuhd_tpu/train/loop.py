@@ -63,12 +63,15 @@ def collate_coarse(items: list[dict]) -> dict:
 
 
 def _batches(dataset, batch_size: int, collate: Callable, seed: int,
-             shuffle: bool = True):
+             shuffle: bool = True, num_threads: int = 2):
+    """Shuffled, background-prefetched batches (DataLoader equivalent)."""
+    from ..data.prefetch import prefetch_batches
+
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
-    for s in range(0, len(order) - batch_size + 1, batch_size):
-        yield collate([dataset[int(i)] for i in order[s:s + batch_size]])
+    yield from prefetch_batches(dataset, batch_size, collate, order,
+                                num_threads=num_threads)
 
 
 # -------------------------------------------------------------- fine train

@@ -175,3 +175,82 @@ def test_ply_dump(tmp_path):
     body = text.split("end_header\n")[1].strip().split("\n")
     assert len(body) == 20
     assert all(l.endswith(("255 0 0", "0 255 0")) for l in body)
+
+
+def test_render_dataset_from_obj(tmp_path):
+    """render_data-equivalent: OBJ subjects -> full tree -> TrainDataset."""
+    from rgbd_pifuhd_tpu.data.render_dataset import render_dataset
+    from rgbd_pifuhd_tpu.data.composite import composite_over_backgrounds
+    from rgbd_pifuhd_tpu.data.datasets import TrainDataset
+    from rgbd_pifuhd_tpu.recon.mesh import save_obj_with_color
+    from rgbd_pifuhd_tpu.utils.options import Options
+
+    objs = os.path.join(tmp_path, "objs")
+    os.makedirs(objs)
+    v, f = make_icosphere(2, 1.0)
+    save_obj_with_color(os.path.join(objs, "subj.obj"), v, f)
+
+    root = os.path.join(tmp_path, "td")
+    views = render_dataset(root, objs, size=64, load_size=64, yaw_step=180)
+    assert views == {"subj": 2}
+    composite_over_backgrounds(root)
+
+    opt = Options(dataroot=root, load_size=64, load_size_big=64,
+                  load_size_local=64, num_sample_inout=64, sigma=0.05)
+    ds = TrainDataset(opt, b_min="auto", b_max="auto")
+    assert len(ds) == 1
+    item = ds[0]
+    assert item["samples"].shape == (64, 3)
+    assert item["labels"].mean() > 0.05
+    # calib from PARAM must project the mesh center near NDC origin
+    from rgbd_pifuhd_tpu.ops import geometry as G
+    import jax.numpy as jnp
+    ndc = np.asarray(G.orthogonal(jnp.zeros((1, 1, 3)),
+                                  jnp.asarray(item["calib"][None])))
+    assert np.abs(ndc).max() < 0.2
+
+
+def test_prefetcher_order_and_errors():
+    from rgbd_pifuhd_tpu.data.prefetch import Prefetcher
+
+    items = list(Prefetcher(lambda i: i * i, range(10), num_threads=3))
+    assert items == [i * i for i in range(10)]
+
+    def bad(i):
+        if i == 3:
+            raise ValueError("boom")
+        return i
+
+    with pytest.raises(ValueError):
+        list(Prefetcher(bad, range(5), num_threads=2))
+
+
+def test_sh_basis_and_prt():
+    from rgbd_pifuhd_tpu.data.render import (
+        sh_basis, sample_sphere_directions, compute_prt, rotate_sh_coeffs)
+    from rgbd_pifuhd_tpu.recon.mesh import compute_vertex_normals
+
+    rng = np.random.default_rng(0)
+    dirs = sample_sphere_directions(32, rng)  # 1024 stratified dirs
+    B = sh_basis(dirs, order=2)
+    assert B.shape == (1024, 9)
+    # orthonormality: (4pi/N) * B^T B ~ I (Monte-Carlo tolerance)
+    gram = B.T @ B * (4 * np.pi / len(dirs))
+    np.testing.assert_allclose(gram, np.eye(9), atol=0.06)
+
+    # SH rotation preserves function values: f(R^-1 d) = (R.coeffs).basis(d)
+    coeffs = rng.standard_normal(9)
+    R = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1.0]])  # 90deg about z
+    rotated = rotate_sh_coeffs(coeffs, R)
+    d = dirs[:5]
+    f_rot = sh_basis(d, 2) @ rotated
+    f_orig = sh_basis(d @ R, 2) @ coeffs   # f(R^-1 d) with row-vec convention
+    np.testing.assert_allclose(f_rot, f_orig, atol=1e-6)
+
+    # PRT on a sphere: unoccluded, transport ~ clamped cosine
+    v, f = make_icosphere(1, 1.0)
+    n = compute_vertex_normals(v, f.astype(np.int32))
+    prt = compute_prt(v, f, n, order=2, n_dirs=6)
+    assert prt.shape == (len(v), 9)
+    # ambient coefficient positive everywhere (Y00 > 0, cos-weighted)
+    assert (prt[:, 0] > 0).all()

@@ -173,3 +173,23 @@ def test_sparse_two_phase_matches_dense():
     vol8 = densify_sparse_volume(corner, top_idx, refined, res, factor=8,
                                  pack_bits=8)
     np.testing.assert_allclose(vol8[near], dense[near], atol=0.002)
+
+
+def test_masked_marching_matches_full():
+    from rgbd_pifuhd_tpu.recon.marching import marching_tetrahedra_cells
+    from rgbd_pifuhd_tpu.recon.pipeline import _surface_cells
+
+    n = 64
+    g = np.mgrid[:n, :n, :n].astype(np.float64)
+    d = np.sqrt(((g - n / 2) ** 2).sum(0))
+    vol = (1.0 / (1.0 + np.exp(d - 20.0))).astype(np.float32)
+
+    v_full, f_full = marching_tetrahedra(vol, 0.5)
+    cells = _surface_cells(np.zeros((0,), np.int64), vol, n // 8, 8)
+    v_mask, f_mask = marching_tetrahedra_cells(vol, cells, factor=8)
+
+    assert v_mask.shape == v_full.shape
+    assert f_mask.shape == f_full.shape
+    s1 = v_full[np.lexsort(v_full.T)]
+    s2 = v_mask[np.lexsort(v_mask.T)]
+    np.testing.assert_allclose(s1, s2, atol=1e-5)
