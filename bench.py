@@ -79,7 +79,8 @@ def main():
 
     # ---- timed components (median of 3)
     from rgbd_pifuhd_tpu.recon.grid import (
-        eval_grid_two_phase_sparse, densify_sparse_volume)
+        eval_grid_two_phase_sparse, densify_sparse_volume,
+        sparse_scan_cells)
     t_enc, t_vol, t_dev, t_xfer = [], [], [], []
     for _ in range(3):
         t0 = time.time()
@@ -96,10 +97,11 @@ def main():
         t1 = time.time()
         host = [np.asarray(s) for s in sparse]   # device->host (tunnel!)
         t_xfer.append(time.time() - t1)
-        vol = densify_sparse_volume(*host, resolution, factor=8)
+        _cells, marks = sparse_scan_cells(host[0], host[1], resolution,
+                                          factor=8)
+        vol = densify_sparse_volume(*host, resolution, factor=8,
+                                    scan_marks=marks)
         t_vol.append(time.time() - t0)
-    from rgbd_pifuhd_tpu.recon.pipeline import _surface_cells
-    _cells = _surface_cells(np.asarray(host[1]), vol, resolution // 8, 8)
 
     # marching timed on a realistic analytic volume through the SAME
     # masked path the pipeline uses (cells known from the sparse eval)

@@ -82,13 +82,14 @@ class ConvBlock(nn.Module):
 
     out_channels: int
     norm: str = "group"
+    dtype: str | None = None  # compute dtype for convs (params stay f32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c2, c4 = self.out_channels // 2, self.out_channels // 4
         conv = lambda ch, name: nn.Conv(
             ch, (3, 3), padding=1, use_bias=False, name=name,
-            kernel_init=conv_init,
+            kernel_init=conv_init, dtype=self.dtype,
         )
 
         y1 = conv(c2, "conv1")(_NormReLU(self.norm, "n")(x, train))
@@ -99,7 +100,7 @@ class ConvBlock(nn.Module):
         if x.shape[-1] != self.out_channels:
             residual = nn.Conv(
                 self.out_channels, (1, 1), use_bias=False, name="down_conv",
-                kernel_init=conv_init,
+                kernel_init=conv_init, dtype=self.dtype,
             )(_NormReLU(self.norm, "n")(x, train))
         else:
             residual = x
@@ -116,15 +117,18 @@ class HourGlass(nn.Module):
     depth: int
     features: int
     norm: str = "group"
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        cb = lambda name: ConvBlock(self.features, self.norm, name=name)
+        cb = lambda name: ConvBlock(self.features, self.norm,
+                                    dtype=self.dtype, name=name)
         up1 = cb("b1")(x, train)
         low1 = cb("b2")(avg_pool2d(x, 2, 2), train)
         if self.depth > 1:
             low2 = HourGlass(
-                self.depth - 1, self.features, self.norm, name="inner"
+                self.depth - 1, self.features, self.norm, dtype=self.dtype,
+                name="inner"
             )(low1, train)
         else:
             low2 = cb("b2_plus")(low1, train)
@@ -154,25 +158,26 @@ class HGFilter(nn.Module):
     norm: str = "group"
     down_type: str = "ave_pool"
     final_act: str | None = None  # reference use_sigmoid=True applied Tanh
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(
             64, (7, 7), strides=2, padding=3, name="conv1",
-            kernel_init=conv_init,
+            kernel_init=conv_init, dtype=self.dtype,
         )(x)
         x = _NormReLU(self.norm, "n")(x, train)
 
         if self.down_type == "ave_pool":
-            x = avg_pool2d(ConvBlock(128, self.norm, name="conv2")(x, train), 2, 2)
+            x = avg_pool2d(ConvBlock(128, self.norm, dtype=self.dtype, name="conv2")(x, train), 2, 2)
         elif self.down_type == "no_down":
-            x = ConvBlock(128, self.norm, name="conv2")(x, train)
+            x = ConvBlock(128, self.norm, dtype=self.dtype, name="conv2")(x, train)
         elif self.down_type == "conv64":
-            x = ConvBlock(64, self.norm, name="conv2")(x, train)
+            x = ConvBlock(64, self.norm, dtype=self.dtype, name="conv2")(x, train)
             x = nn.Conv(128, (3, 3), strides=2, padding=1, name="down_conv2",
                         kernel_init=conv_init)(x)
         elif self.down_type == "conv128":
-            x = ConvBlock(128, self.norm, name="conv2")(x, train)
+            x = ConvBlock(128, self.norm, dtype=self.dtype, name="conv2")(x, train)
             x = nn.Conv(128, (3, 3), strides=2, padding=1, name="down_conv2",
                         kernel_init=conv_init)(x)
         else:
@@ -180,22 +185,22 @@ class HGFilter(nn.Module):
 
         normx = x
 
-        x = ConvBlock(128, self.norm, name="conv3")(x, train)
-        x = ConvBlock(256, self.norm, name="conv4")(x, train)
+        x = ConvBlock(128, self.norm, dtype=self.dtype, name="conv3")(x, train)
+        x = ConvBlock(256, self.norm, dtype=self.dtype, name="conv4")(x, train)
 
         previous = x
         outputs = []
         for i in range(self.n_stack):
-            hg = HourGlass(self.depth, 256, self.norm, name=f"m{i}")(
+            hg = HourGlass(self.depth, 256, self.norm, dtype=self.dtype, name=f"m{i}")(
                 previous, train
             )
-            ll = ConvBlock(256, self.norm, name=f"top_m_{i}")(hg, train)
+            ll = ConvBlock(256, self.norm, dtype=self.dtype, name=f"top_m_{i}")(hg, train)
             ll = nn.Conv(256, (1, 1), name=f"conv_last{i}",
-                         kernel_init=conv_init)(ll)
+                         kernel_init=conv_init, dtype=self.dtype)(ll)
             ll = _NormReLU(self.norm, "n")(ll, train)
 
             out = nn.Conv(self.last_channels, (1, 1), name=f"l{i}",
-                          kernel_init=conv_init)(ll)
+                          kernel_init=conv_init, dtype=self.dtype)(ll)
             if self.final_act == "tanh":
                 outputs.append(jnp.tanh(out))
             else:

@@ -56,14 +56,15 @@ class CoarsePIFu(nn.Module):
 
     def setup(self):
         c = self.cfg
+        dt = None if c.compute_dtype == "float32" else c.compute_dtype
         self.image_filter = HGFilter(
             n_stack=c.num_stack, depth=c.hg_depth, last_channels=c.hg_dim,
-            norm=c.norm, down_type=c.hg_down, name="image_filter",
+            norm=c.norm, down_type=c.hg_down, dtype=dt, name="image_filter",
         )
         self.mlp = PointMLP(
             filter_channels=c.mlp_dim, merge_layer=c.merge_layer,
             res_layers=c.mlp_res_layers, norm=c.mlp_norm,
-            last_op="sigmoid", name="mlp",
+            last_op="sigmoid", dtype=dt, name="mlp",
         )
         if c.use_front_normal:
             self.netF = GlobalGenerator(

@@ -34,6 +34,7 @@ class PointMLP(nn.Module):
     res_layers: Sequence[int] = ()
     norm: str = "group"
     last_op: str | None = "sigmoid"
+    dtype: str | None = None  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, feature, train: bool = False):
@@ -55,6 +56,7 @@ class PointMLP(nn.Module):
                 self.filter_channels[i + 1],
                 name=f"dense{i}",
                 kernel_init=conv_init,
+                dtype=self.dtype,
             )(inp)
             if i != n_layers - 1:
                 if self.norm in ("group", "batch"):
@@ -67,7 +69,7 @@ class PointMLP(nn.Module):
             if i == merge:
                 phi = y
         if self.last_op == "sigmoid":
-            y = nn.sigmoid(y)
+            y = nn.sigmoid(y.astype(jnp.float32))
         elif self.last_op == "tanh":
-            y = jnp.tanh(y)
+            y = jnp.tanh(y.astype(jnp.float32))
         return y, phi

@@ -66,14 +66,15 @@ class MultiResPIFu(nn.Module):
     def setup(self):
         c = self.cfg
         self.netG = CoarsePIFu(self.cfg_global, name="netG")
+        dt = None if c.compute_dtype == "float32" else c.compute_dtype
         self.image_filter = HGFilter(
             n_stack=c.num_stack, depth=c.hg_depth, last_channels=c.hg_dim,
-            norm=c.norm, down_type="no_down", name="image_filter",
+            norm=c.norm, down_type="no_down", dtype=dt, name="image_filter",
         )
         self.mlp = PointMLP(
             filter_channels=c.mlp_dim, merge_layer=-1,
             res_layers=c.mlp_res_layers, norm=c.mlp_norm,
-            last_op="sigmoid", name="mlp",
+            last_op="sigmoid", dtype=dt, name="mlp",
         )
 
     # ------------------------------------------------------ filter_global

@@ -84,3 +84,34 @@ def load_marching():
             lib.mt_free.argtypes = [ctypes.c_void_p]
         _CACHE["marching"] = lib
         return lib
+
+
+def load_meshio():
+    """ctypes handle to the densify / obj_write kernels, or None."""
+    with _LOCK:
+        if "meshio" in _CACHE:
+            return _CACHE["meshio"]
+        so = _build_lib("meshio", ["meshio.cc"])
+        lib = None
+        if so:
+            lib = ctypes.CDLL(so)
+            lib.densify.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,   # vol, res
+                ctypes.POINTER(ctypes.c_float),                    # fill
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,    # marks, n
+                ctypes.c_int,                                      # factor
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,    # top, K
+                ctypes.POINTER(ctypes.c_float),                    # refined
+                ctypes.c_int,                                      # threads
+            ]
+            lib.obj_write.restype = ctypes.c_int
+            lib.obj_write.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64,
+            ]
+        _CACHE["meshio"] = lib
+        return lib

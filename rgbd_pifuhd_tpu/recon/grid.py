@@ -295,10 +295,63 @@ def eval_grid_two_phase_sparse(
     return corner_q, top_idx.astype(jnp.int32), refined
 
 
+def sparse_scan_cells(corner_vals, top_idx, resolution: int,
+                      factor: int = 8, pack_bits: int = 4,
+                      band_scale: float = 4.0):
+    """Surface-candidate cell marks from the SPARSE result alone.
+
+    Marks = refined top-K cells + cells whose 8 coarse corners disagree in
+    sign + cells whose fill sign differs from a face neighbor's.  Complete
+    w.r.t. the densified volume: non-marked cells are constant fill with
+    sign-matching neighbors, so they cannot contain iso crossings.
+
+    Returns (origins [K', 3] int32 voxel origins, marks [n, n, n] bool).
+    """
+    res = resolution
+    n = res // factor
+    n1 = n + 1
+    levels = (1 << pack_bits) - 1
+    c = ((np.asarray(corner_vals).astype(np.float32) / levels - 0.5)
+         / band_scale + 0.5).reshape(n1, n1, n1)
+
+    corners8 = [
+        c[dx:n + dx, dy:n + dy, dz:n + dz]
+        for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)
+    ]
+    s = [q > 0.5 for q in corners8]
+    all_in = np.logical_and.reduce(s)
+    all_out = np.logical_and.reduce([~q for q in s])
+    marks = ~(all_in | all_out)
+
+    v_min = np.minimum.reduce(corners8)
+    v_max = np.maximum.reduce(corners8)
+    fsign = (0.5 * (v_min + v_max)) > 0.5
+    for ax in range(3):
+        d = np.diff(fsign, axis=ax) != 0
+        lo = [slice(None)] * 3
+        hi = [slice(None)] * 3
+        lo[ax] = slice(0, n - 1)
+        hi[ax] = slice(1, n)
+        marks[tuple(lo)] |= d
+        marks[tuple(hi)] |= d
+
+    marks.reshape(-1)[np.asarray(top_idx)] = True
+    origins = np.argwhere(marks).astype(np.int32) * factor
+    return origins, marks
+
+
 def densify_sparse_volume(corner_vals, top_idx, refined, resolution: int,
                           factor: int = 8, pack_bits: int = 4,
-                          band_scale: float = 4.0) -> np.ndarray:
-    """Host-side reassembly of the sparse two-phase result (NumPy)."""
+                          band_scale: float = 4.0,
+                          scan_marks: np.ndarray | None = None) -> np.ndarray:
+    """Host-side reassembly of the sparse two-phase result (NumPy).
+
+    With ``scan_marks`` (from sparse_scan_cells), only marked cells and
+    their 1-cell neighborhood are materialized — everything the masked
+    marching kernel can read — cutting host writes from res^3 floats to
+    the surface neighborhood (~30x at 512^3).  Voxels outside that region
+    are UNINITIALIZED; pass scan_marks=None for a fully-dense volume.
+    """
     res = resolution
     n = res // factor
     n1 = n + 1
@@ -323,11 +376,58 @@ def densify_sparse_volume(corner_vals, top_idx, refined, resolution: int,
         ],
         axis=0,
     )
-    fill = 0.5 * (stack8.min(axis=0) + stack8.max(axis=0))   # [n, n, n]
-    vol = np.broadcast_to(
-        fill[:, None, :, None, :, None],
-        (n, factor, n, factor, n, factor),
-    ).reshape(res, res, res).copy()
+    fill = (0.5 * (stack8.min(axis=0) + stack8.max(axis=0))).astype(
+        np.float32)                                           # [n, n, n]
+    if scan_marks is None:
+        dil = np.ones((n, n, n), dtype=bool)
+    else:
+        # materialize only the marked cells + their 26-neighborhood
+        dil = scan_marks.copy()
+        for ax in range(3):
+            grown = dil.copy()
+            sl_lo = [slice(None)] * 3
+            sl_hi = [slice(None)] * 3
+            sl_lo[ax] = slice(0, n - 1)
+            sl_hi[ax] = slice(1, n)
+            grown[tuple(sl_lo)] |= dil[tuple(sl_hi)]
+            grown[tuple(sl_hi)] |= dil[tuple(sl_lo)]
+            dil = grown
+
+    blocks = unquantize(refined).reshape(-1, factor, factor, factor)
+    from ..native import load_meshio
+    lib = load_meshio()
+    if lib is not None:
+        import ctypes
+
+        vol = np.empty((res, res, res), np.float32)
+        fill_c = np.ascontiguousarray(fill)
+        marks_c = np.ascontiguousarray(dil.astype(np.uint8))
+        top_c = np.ascontiguousarray(top_idx.astype(np.int32))
+        ref_c = np.ascontiguousarray(blocks.astype(np.float32))
+        lib.densify(
+            vol.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_int64(res),
+            fill_c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            marks_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(n), ctypes.c_int(factor),
+            top_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int64(len(top_c)),
+            ref_c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            0,
+        )
+        return vol
+
+    # NumPy fallback
+    if scan_marks is None:
+        vol = np.broadcast_to(
+            fill[:, None, :, None, :, None],
+            (n, factor, n, factor, n, factor),
+        ).reshape(res, res, res).copy()
+    else:
+        vol = np.empty((res, res, res), np.float32)
+        kx, ky, kz = np.nonzero(dil)
+        v6l = vol.reshape(n, factor, n, factor, n, factor)
+        v6l[kx, :, ky, :, kz, :] = fill[kx, ky, kz][:, None, None, None]
 
     cbx = top_idx // (n * n)
     cby = (top_idx // n) % n

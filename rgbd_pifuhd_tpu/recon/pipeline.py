@@ -36,6 +36,7 @@ from .grid import (
     eval_grid_two_phase,
     eval_grid_two_phase_sparse,
     densify_sparse_volume,
+    sparse_scan_cells,
     create_grid_transform,
 )
 from .marching import marching_tetrahedra, marching_tetrahedra_cells
@@ -163,9 +164,14 @@ class Reconstructor:
                     self.params, l_feats, g_feats, calib,
                     factor=8, budget_cells=budget,
                 )
+                corner, top_idx, refined = (
+                    np.asarray(corner), np.asarray(top_idx),
+                    np.asarray(refined))
+                cells, marks = sparse_scan_cells(corner, top_idx,
+                                                 resolution, factor=8)
                 vol = densify_sparse_volume(
-                    corner, top_idx, refined, resolution, factor=8)
-                cells = _surface_cells(np.asarray(top_idx), vol, n, 8)
+                    corner, top_idx, refined, resolution, factor=8,
+                    scan_marks=marks)
                 return vol, cells
             vol = eval_grid_two_phase(
                 self._query, resolution, calib_inv,

@@ -38,3 +38,23 @@ def chamfer_l2(a: jax.Array, b: jax.Array) -> jax.Array:
     """
     d2 = jnp.sum((a[:, None, :] - b[None, :, :]) ** 2, axis=-1)
     return jnp.mean(jnp.min(d2, axis=1)) + jnp.mean(jnp.min(d2, axis=0))
+
+
+def calc_error(model_apply, params, dataset, collate, num_tests: int,
+               thresh: float = 0.5):
+    """Dataset-level average (loss, IoU, precision, recall).
+
+    Parity with the reference's calc_error (traindata/lib/net_util.py:
+    156-183): forward the first ``num_tests`` items and average.
+    ``model_apply(params, batch) -> (loss, preds, labels)``.
+    """
+    import numpy as np
+
+    rows = []
+    n = min(num_tests, len(dataset))
+    for i in range(n):
+        batch = collate([dataset[i]])
+        loss, preds, labels = model_apply(params, batch)
+        iou, prec, rec = compute_acc(preds, labels, thresh)
+        rows.append([float(loss), float(iou), float(prec), float(rec)])
+    return tuple(np.mean(rows, axis=0))

@@ -54,6 +54,9 @@ class PIFuLevelConfig:
     load_size: int = 1024
     z_size: float = 200.0
     projection_mode: str = "orthogonal"
+    # activation compute dtype for convs/MLP matmuls ('float32'|'bfloat16');
+    # params stay float32, norms compute in float32
+    compute_dtype: str = "float32"
 
     @property
     def in_channels(self) -> int:

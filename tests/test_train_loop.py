@@ -108,3 +108,50 @@ def test_metrics():
 
     a = jnp.zeros((10, 3))
     assert float(chamfer_l2(a, a)) == 0.0
+
+
+def test_train_full_pifu_grads_flow(synth_root, tmp_path, rng=None):
+    """With train_full_pifu=True the fine loss must reach netG params."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rgbd_pifuhd_tpu.models import MultiResPIFu
+
+    model = MultiResPIFu(cfg=tiny_local(), cfg_global=tiny_global(),
+                         train_full_pifu=True)
+    r = np.random.default_rng(0)
+    imgs_l = jnp.asarray(r.standard_normal((1, 1, 32, 32, 6)).astype(np.float32))
+    imgs_g = jnp.asarray(r.standard_normal((1, 64, 64, 6)).astype(np.float32))
+    points = jnp.asarray(r.uniform(-0.9, 0.9, (1, 1, 32, 3)).astype(np.float32))
+    calib_l = jnp.eye(4, dtype=jnp.float32)[None, None]
+    calib_g = jnp.eye(4, dtype=jnp.float32)[None]
+    labels = jnp.asarray((r.uniform(0, 1, (1, 1, 32, 1)) > 0.5).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), imgs_l, imgs_g, points,
+                        calib_l, calib_g, labels)
+
+    def loss_fn(p):
+        err, _ = model.apply(p, imgs_l, imgs_g, points, calib_l, calib_g,
+                             labels)
+        return err["occ_fine"] + err.get("occ", 0.0)
+
+    grads = jax.grad(loss_fn)(params)
+    g_netG = jax.tree_util.tree_leaves(grads["params"]["netG"])
+    assert any(float(jnp.abs(g).max()) > 0.0 for g in g_netG)
+
+
+def test_calc_error_helper(synth_root, tmp_path):
+    import jax.numpy as jnp
+    from rgbd_pifuhd_tpu.utils.metrics import calc_error
+    from rgbd_pifuhd_tpu.data.datasets import TrainDataset
+    from rgbd_pifuhd_tpu.train.loop import collate_coarse
+
+    opt = make_opt(synth_root, str(tmp_path))
+    ds = TrainDataset(opt)
+
+    def fake_apply(params, batch):
+        preds = jnp.full_like(batch["labels"], 0.9)
+        return 0.25, preds, batch["labels"]
+
+    loss, iou, prec, rec = calc_error(fake_apply, None, ds, collate_coarse, 1)
+    assert loss == 0.25
+    assert 0 < iou <= 1 and rec == 1.0  # all-positive predictor
