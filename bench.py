@@ -48,8 +48,13 @@ def main():
     from rgbd_pifuhd_tpu.utils.options import Options
     from __graft_entry__ import _configs
 
+    import dataclasses
+
     resolution = 512
     cfg_g, cfg_l, _, _ = _configs(tiny=False)
+    # bf16 activations for the inference path (params stay f32)
+    cfg_g = dataclasses.replace(cfg_g, compute_dtype="bfloat16")
+    cfg_l = dataclasses.replace(cfg_l, compute_dtype="bfloat16")
     model = MultiResPIFu(cfg=cfg_l, cfg_global=cfg_g)
 
     rng = np.random.default_rng(0)

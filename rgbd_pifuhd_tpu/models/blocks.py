@@ -159,6 +159,7 @@ class HGFilter(nn.Module):
     down_type: str = "ave_pool"
     final_act: str | None = None  # reference use_sigmoid=True applied Tanh
     dtype: str | None = None
+    remat: bool = False  # checkpoint each hourglass in backward
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -191,9 +192,10 @@ class HGFilter(nn.Module):
         previous = x
         outputs = []
         for i in range(self.n_stack):
-            hg = HourGlass(self.depth, 256, self.norm, dtype=self.dtype, name=f"m{i}")(
-                previous, train
-            )
+            hg_cls = nn.remat(HourGlass, static_argnums=(2,)) \
+                if self.remat else HourGlass
+            hg = hg_cls(self.depth, 256, self.norm, dtype=self.dtype,
+                        name=f"m{i}")(previous, train)
             ll = ConvBlock(256, self.norm, dtype=self.dtype, name=f"top_m_{i}")(hg, train)
             ll = nn.Conv(256, (1, 1), name=f"conv_last{i}",
                          kernel_init=conv_init, dtype=self.dtype)(ll)

@@ -69,7 +69,8 @@ class MultiResPIFu(nn.Module):
         dt = None if c.compute_dtype == "float32" else c.compute_dtype
         self.image_filter = HGFilter(
             n_stack=c.num_stack, depth=c.hg_depth, last_channels=c.hg_dim,
-            norm=c.norm, down_type="no_down", dtype=dt, name="image_filter",
+            norm=c.norm, down_type="no_down", dtype=dt, remat=c.remat,
+            name="image_filter",
         )
         self.mlp = PointMLP(
             filter_channels=c.mlp_dim, merge_layer=-1,

@@ -57,6 +57,9 @@ class PIFuLevelConfig:
     # activation compute dtype for convs/MLP matmuls ('float32'|'bfloat16');
     # params stay float32, norms compute in float32
     compute_dtype: str = "float32"
+    # rematerialize hourglass stacks in backward (memory for FLOPs trade,
+    # enables full-res 1024^2 fine training on 16GB chips)
+    remat: bool = False
 
     @property
     def in_channels(self) -> int:

@@ -84,3 +84,39 @@ def test_sharded_model_query_runs(rng):
     b = np.asarray(jax.jit(sharded)(pts, params, l_feats, g_feats, calib))
     # tiny configs use mlp_norm='none' so sharding must be exact
     np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+
+def test_reconstructor_with_sharded_query(rng, tmp_path):
+    """Full Reconstructor pipeline with the query sharded over 8 devices."""
+    import os
+    import jax.numpy as jnp
+    from rgbd_pifuhd_tpu.models import MultiResPIFu
+    from rgbd_pifuhd_tpu.recon.pipeline import Reconstructor
+    from rgbd_pifuhd_tpu.utils.options import Options
+    from tests.test_models_pifu import tiny_global, tiny_local
+
+    model = MultiResPIFu(cfg=tiny_local(), cfg_global=tiny_global())
+    img_l = jnp.asarray(rng.standard_normal((1, 32, 32, 6)).astype(np.float32))
+    img_g = jnp.asarray(rng.standard_normal((1, 64, 64, 6)).astype(np.float32))
+    calib = jnp.eye(4, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), img_l[None], img_g,
+                        jnp.zeros((1, 1, 8, 3), jnp.float32),
+                        calib[None, None], calib[None],
+                        jnp.zeros((1, 1, 8, 1), jnp.float32))
+
+    mesh = make_device_mesh()
+    opt = Options(resolution=32, use_octree=True)
+    sharder = lambda q: shard_points_query(q, mesh)
+    recon_sharded = Reconstructor(model, params, opt, sharded_query=sharder)
+    recon_single = Reconstructor(model, params, opt)
+
+    data = {"img": img_l, "img_512": img_g, "calib": calib}
+    out_s = recon_sharded.gen_mesh(data, str(tmp_path / "s.obj"),
+                                   resolution=32)
+    out_1 = recon_single.gen_mesh(data, str(tmp_path / "o.obj"),
+                                  resolution=32)
+    # tiny configs use mlp_norm='none' -> sharding must be value-identical
+    assert len(out_s["verts"]) == len(out_1["verts"])
+    np.testing.assert_allclose(
+        np.sort(out_s["verts"], axis=0), np.sort(out_1["verts"], axis=0),
+        atol=1e-4)
