@@ -11,6 +11,13 @@ Scope: the inference/query path with mlp_norm='none' (the norm-free chain;
 GroupNorm couples points across the whole chunk and cannot be tiled without
 changing its semantics — the XLA path remains the default for 'group').
 
+Measured on v5e (262144 points, coarse-MLP shape, f32): XLA 9.1 ms vs this
+kernel 9.6 ms at block=1024 — XLA already fuses this chain to within ~5% of
+the matmul roofline, so the kernel is kept as an optional path and a
+baseline for future fused gather+MLP work, not the default.  block must
+keep (block x widest-layer + weights) under the 16 MB VMEM budget;
+block=1024 is the practical ceiling for the coarse MLP.
+
 Semantics parity with PointMLP (models/mlp.py): residual layers concatenate
 the ORIGINAL input, leaky_relu(0.01) between layers, sigmoid head.
 
@@ -61,6 +68,13 @@ def fused_point_mlp(
     N, C0 = x.shape
     n_layers = len(weights)
     res_set = frozenset(res_layers)
+
+    # VMEM guard: block activations (block x widest layer x 4B, x2 for the
+    # residual concat) + weights must fit the ~16MB scoped budget
+    widest = max(w.shape[1] for w, _ in weights) + _r128(C0)
+    w_bytes = sum(w.size * 4 for w, _ in weights)
+    while block > 128 and block * widest * 4 * 2 + w_bytes > 14 * 2 ** 20:
+        block //= 2
 
     C0p = _r128(C0)
     xp = _pad_to(x, C0p, 1)
