@@ -120,7 +120,7 @@ def train_fine(opt: Options, mesh=None, max_steps: int | None = None,
     sched = make_lr_schedule(opt.learning_rate, opt.schedule, opt.gamma,
                              steps_per_epoch)
     tx = make_optimizer(opt.optimizer, sched)
-    opt_state = tx.init(params)
+    opt_state = tx.init(params["params"])
 
     step_fn = make_fine_train_step(model, tx)
     step = (shard_train_step(step_fn, mesh) if mesh is not None
@@ -173,7 +173,7 @@ def pretrain_coarse(opt: Options, mesh=None, max_steps: int | None = None,
     sched = make_lr_schedule(opt.learning_rate, opt.schedule, opt.gamma,
                              steps_per_epoch)
     tx = make_optimizer(opt.optimizer, sched)
-    opt_state = tx.init(params)
+    opt_state = tx.init(params["params"])
     step_fn = make_coarse_train_step(model, tx, gamma=opt.gamma
                                      if opt.gamma < 1 else 0.5)
     step = (shard_train_step(step_fn, mesh) if mesh is not None
@@ -258,6 +258,8 @@ def pretrain_normals(opt: Options, coarse_params=None,
                 if max_steps is not None and global_step >= max_steps:
                     break
             logger.save_epoch_errors(epoch)
+            if epoch % opt.freq_save == 0:
+                _save_normal_montage(opt, gen, params, batch, net_name, epoch)
             if max_steps is not None and global_step >= max_steps:
                 break
         results[net_name] = params
@@ -270,6 +272,23 @@ def pretrain_normals(opt: Options, coarse_params=None,
             out_params, opt, epoch=0)
         return out_params
     return results
+
+
+def _save_normal_montage(opt, gen, params, batch, net_name, epoch) -> None:
+    """input | predicted | target side-by-side PNG each save epoch
+    (reference pretrain_netG.py:212-224)."""
+    try:
+        import cv2
+    except ImportError:
+        return
+    fake = gen.apply(params, batch["images"])
+    panels = [np.asarray(batch["images"][0])[..., :3],
+              np.asarray(fake[0]), np.asarray(batch["target"][0])]
+    img = np.concatenate(panels, axis=1) * 0.5 + 0.5
+    out_dir = os.path.join("./train_result", f"{opt.name}_{net_name}")
+    os.makedirs(out_dir, exist_ok=True)
+    cv2.imwrite(os.path.join(out_dir, f"sample_epoch_{epoch}.png"),
+                (img[:, :, ::-1] * 255).clip(0, 255).astype(np.uint8))
 
 
 # ------------------------------------------------------------- alternating

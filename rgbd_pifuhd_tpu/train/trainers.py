@@ -51,27 +51,52 @@ def make_optimizer(kind: str, lr, **kwargs) -> optax.GradientTransformation:
     raise ValueError(f"unknown optimizer {kind!r}")
 
 
+def _split_vars(variables):
+    """-> (params subtree, other collections, has_batch_stats)."""
+    extra = {k: v for k, v in variables.items() if k != "params"}
+    return variables["params"], extra, "batch_stats" in extra
+
+
 def make_fine_train_step(model: MultiResPIFu,
                          tx: optax.GradientTransformation) -> Callable:
-    """One fine-training step; loss = mean over fine intermediate preds."""
+    """One fine-training step; loss = mean over fine intermediate preds.
 
-    def step(params, opt_state, batch):
+    Handles both stateless norms (group) and BatchNorm (mutable
+    'batch_stats' collection, the reference's norm='batch' default).
+    Gradients/optimizer apply to the 'params' collection only.
+    """
+
+    def step(variables, opt_state, batch):
+        params, extra, has_bs = _split_vars(variables)
+
         def loss_fn(p):
-            err, out = model.apply(
-                p, batch["images_local"], batch["images_global"],
-                batch["points"], batch["calib_local"], batch["calib_global"],
-                batch["labels"], train=True,
-            )
+            v = {"params": p, **extra}
+            if has_bs:
+                (err, out), mut = model.apply(
+                    v, batch["images_local"], batch["images_global"],
+                    batch["points"], batch["calib_local"],
+                    batch["calib_global"], batch["labels"], train=True,
+                    mutable=["batch_stats"],
+                )
+            else:
+                err, out = model.apply(
+                    v, batch["images_local"], batch["images_global"],
+                    batch["points"], batch["calib_local"],
+                    batch["calib_global"], batch["labels"], train=True,
+                )
+                mut = {}
             total = err["occ_fine"]
             if "occ" in err:
                 total = total + err["occ"]
-            return total, err
+            return total, (err, mut)
 
-        (loss, err), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (loss, (err, mut)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        variables = {"params": params, **extra, **mut}
         metrics = {"loss": loss, **{k: v for k, v in err.items()}}
-        return params, opt_state, metrics
+        return variables, opt_state, metrics
 
     return step
 
@@ -81,18 +106,28 @@ def make_coarse_train_step(model: CoarsePIFu,
                            gamma: float = 0.5) -> Callable:
     """One coarse-pretraining step (CustomBCE over hourglass stacks)."""
 
-    def step(params, opt_state, batch):
+    def step(variables, opt_state, batch):
+        params, extra, has_bs = _split_vars(variables)
+
         def loss_fn(p):
+            v = {"params": p, **extra}
+            if has_bs:
+                (err, _), mut = model.apply(
+                    v, batch["images"], batch["points"], batch["calibs"],
+                    batch["labels"], gamma, train=True,
+                    mutable=["batch_stats"],
+                )
+                return err, mut
             err, _ = model.apply(
-                p, batch["images"], batch["points"], batch["calibs"],
+                v, batch["images"], batch["points"], batch["calibs"],
                 batch["labels"], gamma, train=True,
             )
-            return err
+            return err, {}
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, {"loss": loss}
+        return {"params": params, **extra, **mut}, opt_state, {"loss": loss}
 
     return step
 

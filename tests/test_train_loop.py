@@ -155,3 +155,37 @@ def test_calc_error_helper(synth_root, tmp_path):
     loss, iou, prec, rec = calc_error(fake_apply, None, ds, collate_coarse, 1)
     assert loss == 0.25
     assert 0 < iou <= 1 and rec == 1.0  # all-positive predictor
+
+
+def test_batchnorm_training_updates_stats(synth_root, tmp_path):
+    """norm='batch' (the reference default) must train with mutable stats."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rgbd_pifuhd_tpu.models import CoarsePIFu
+    from rgbd_pifuhd_tpu.train.trainers import (
+        make_coarse_train_step, make_optimizer)
+
+    cfg = dataclasses.replace(tiny_global(), norm="batch")
+    model = CoarsePIFu(cfg)
+    r = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(r.standard_normal((2, 64, 64, 6)).astype(np.float32)),
+        "points": jnp.asarray(r.uniform(-0.5, 0.5, (2, 32, 3)).astype(np.float32)),
+        "calibs": jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (2, 1, 1)),
+        "labels": jnp.zeros((2, 32, 1), jnp.float32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch["images"],
+                           batch["points"], batch["calibs"], batch["labels"])
+    assert "batch_stats" in variables
+
+    tx = make_optimizer("rmsprop", 1e-3)
+    opt_state = tx.init(variables["params"])
+    step = jax.jit(make_coarse_train_step(model, tx, gamma=0.5))
+
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])[0].copy()
+    variables, opt_state, m = step(variables, opt_state, batch)
+    after = jax.tree_util.tree_leaves(variables["batch_stats"])[0]
+    assert np.isfinite(float(m["loss"]))
+    assert not np.allclose(np.asarray(before), np.asarray(after))
