@@ -189,3 +189,18 @@ def test_batchnorm_training_updates_stats(synth_root, tmp_path):
     after = jax.tree_util.tree_leaves(variables["batch_stats"])[0]
     assert np.isfinite(float(m["loss"]))
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_alternating_curriculum_smoke(synth_root, tmp_path):
+    """altertrain parity: one cycle of normals -> coarse -> fine on tiny
+    configs with normal nets enabled."""
+    import dataclasses
+    from rgbd_pifuhd_tpu.train.loop import train_alternating
+
+    opt = make_opt(synth_root, str(tmp_path))
+    opt.netG = dataclasses.replace(
+        tiny_global(True), nml_ngf=8, nml_n_downsampling=2, nml_n_blocks=1)
+    params = train_alternating(opt, cycles=1, nml_epochs=1, coarse_epochs=1,
+                               fine_epochs=1, max_steps=1)
+    assert "netG" in params["params"]
+    assert "netF" in params["params"]["netG"]
