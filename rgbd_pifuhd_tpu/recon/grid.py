@@ -343,7 +343,8 @@ def sparse_scan_cells(corner_vals, top_idx, resolution: int,
 def densify_sparse_volume(corner_vals, top_idx, refined, resolution: int,
                           factor: int = 8, pack_bits: int = 4,
                           band_scale: float = 4.0,
-                          scan_marks: np.ndarray | None = None) -> np.ndarray:
+                          scan_marks: np.ndarray | None = None,
+                          out: np.ndarray | None = None) -> np.ndarray:
     """Host-side reassembly of the sparse two-phase result (NumPy).
 
     With ``scan_marks`` (from sparse_scan_cells), only marked cells and
@@ -351,6 +352,11 @@ def densify_sparse_volume(corner_vals, top_idx, refined, resolution: int,
     marching kernel can read — cutting host writes from res^3 floats to
     the surface neighborhood (~30x at 512^3).  Voxels outside that region
     are UNINITIALIZED; pass scan_marks=None for a fully-dense volume.
+
+    ``out``: optional preallocated [res, res, res] float32 buffer.  REUSE
+    IT across subjects: under sandboxed kernels, first-touch page faults
+    on a fresh 536 MB allocation can cost tens of seconds; a warm buffer
+    is written at memory speed.
     """
     res = resolution
     n = res // factor
@@ -399,7 +405,8 @@ def densify_sparse_volume(corner_vals, top_idx, refined, resolution: int,
     if lib is not None:
         import ctypes
 
-        vol = np.empty((res, res, res), np.float32)
+        vol = out if out is not None else np.empty((res, res, res),
+                                                   np.float32)
         fill_c = np.ascontiguousarray(fill)
         marks_c = np.ascontiguousarray(dil.astype(np.uint8))
         top_c = np.ascontiguousarray(top_idx.astype(np.int32))
@@ -424,7 +431,8 @@ def densify_sparse_volume(corner_vals, top_idx, refined, resolution: int,
             (n, factor, n, factor, n, factor),
         ).reshape(res, res, res).copy()
     else:
-        vol = np.empty((res, res, res), np.float32)
+        vol = out if out is not None else np.empty((res, res, res),
+                                                   np.float32)
         kx, ky, kz = np.nonzero(dil)
         v6l = vol.reshape(n, factor, n, factor, n, factor)
         v6l[kx, :, ky, :, kz, :] = fill[kx, ky, kz][:, None, None, None]

@@ -133,6 +133,7 @@ class Reconstructor:
             return geom.index(image[None], xyz[..., :2])[0]
 
         self._img_color = jax.jit(_img_color)
+        self._vol_cache: dict[int, np.ndarray] = {}  # reused host buffers
 
     # ----------------------------------------------------------- filtering
     def encode(self, img_local: jax.Array, img_global: jax.Array):
@@ -169,9 +170,12 @@ class Reconstructor:
                     np.asarray(refined))
                 cells, marks = sparse_scan_cells(corner, top_idx,
                                                  resolution, factor=8)
+                if resolution not in self._vol_cache:
+                    self._vol_cache[resolution] = np.empty(
+                        (resolution,) * 3, np.float32)
                 vol = densify_sparse_volume(
                     corner, top_idx, refined, resolution, factor=8,
-                    scan_marks=marks)
+                    scan_marks=marks, out=self._vol_cache[resolution])
                 return vol, cells
             vol = eval_grid_two_phase(
                 self._query, resolution, calib_inv,
