@@ -147,11 +147,16 @@ class Reconstructor:
     def occupancy_volume(self, l_feats, g_feats, calib: jax.Array,
                          resolution: int, use_octree: bool = True,
                          budget_cells: int | None = None,
-                         sparse_transfer: bool = True) -> np.ndarray:
+                         sparse_transfer: bool = True):
         """Evaluate the res^3 occupancy volume on device.
 
+        Returns ``(volume [res,res,res] float32, scan_cells or None)``;
+        scan_cells feeds the masked marching kernel.  The volume buffer is
+        REUSED across calls on the sparse path (avoids fresh-allocation
+        page-fault storms) — consume it before the next reconstruction.
+
         ``sparse_transfer`` ships only the coarse corner lattice + refined
-        cells (uint8) instead of the dense f32 volume — ~75x less
+        cells (4-bit) instead of the dense f32 volume — ~150x less
         device->host traffic at 512^3 (see eval_grid_two_phase_sparse).
         """
         calib_inv = jnp.linalg.inv(calib)
