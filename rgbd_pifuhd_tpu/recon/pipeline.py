@@ -349,3 +349,50 @@ def estimate_back_colors(colors: np.ndarray, xyz: np.ndarray,
         ok = acc_cnt[:, 0] > 0
         colors[ids[ok]] = (acc[ok] / acc_cnt[ok]).astype(colors.dtype)
     return colors
+
+
+class CoarseReconstructor(Reconstructor):
+    """Single-level reconstruction from the coarse model alone.
+
+    The minimum end-to-end slice (SURVEY.md section 7 step 4 / BASELINE
+    config 1): one 512^2 RGB-D image -> CoarsePIFu -> grid -> mesh.  Reuses
+    the two-level machinery by adapting CoarsePIFu to the Reconstructor's
+    query interface (the fine level is absent; ``img`` is ignored).
+    """
+
+    def __init__(self, model: CoarsePIFu, params: Any, opt: Options,
+                 sharded_query=None):
+        self.model = model
+        self.params = params
+        self.opt = opt
+
+        def _filter_global(params, img_g):
+            return model.apply(params, img_g, last_only=True,
+                               method=CoarsePIFu.filter)
+
+        self._filter_global = jax.jit(_filter_global)
+        self._filter_local = None
+
+        def _query(world_pts, params, l_feats, g_feats, calib):
+            out = model.apply(params, g_feats, world_pts[None], calib[None],
+                              method=CoarsePIFu.query)
+            return out.preds[-1, 0, :, 0]
+
+        self._query = sharded_query(_query) if sharded_query else _query
+
+        def _normals(params, l_feats, g_feats, verts, calib):
+            return model.apply(params, g_feats, verts[None], calib[None],
+                               method=CoarsePIFu.calc_normal)[0]
+
+        self._normals = jax.jit(_normals)
+
+        def _img_color(image, verts, calib):
+            xyz = geom.orthogonal(verts[None], calib[None])
+            return geom.index(image[None], xyz[..., :2])[0]
+
+        self._img_color = jax.jit(_img_color)
+        self._vol_cache = {}
+
+    def encode(self, img_local, img_global):
+        g_feats = self._filter_global(self.params, img_global)
+        return None, g_feats

@@ -193,3 +193,25 @@ def test_masked_marching_matches_full():
     s1 = v_full[np.lexsort(v_full.T)]
     s2 = v_mask[np.lexsort(v_mask.T)]
     np.testing.assert_allclose(s1, s2, atol=1e-5)
+
+
+def test_coarse_only_reconstructor(rng, tmp_path):
+    """Single-level (coarse) reconstruction end to end."""
+    from rgbd_pifuhd_tpu.models import CoarsePIFu
+    from rgbd_pifuhd_tpu.recon.pipeline import CoarseReconstructor
+    from rgbd_pifuhd_tpu.utils.options import Options
+    from tests.test_models_pifu import tiny_global
+
+    model = CoarsePIFu(tiny_global())
+    img_g = jnp.asarray(rng.standard_normal((1, 64, 64, 6)).astype(np.float32))
+    calib = jnp.eye(4, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), img_g,
+                        jnp.zeros((1, 8, 3), jnp.float32), calib[None],
+                        jnp.zeros((1, 8, 1), jnp.float32))
+
+    recon = CoarseReconstructor(model, params, Options(resolution=32))
+    data = {"img": img_g, "img_512": img_g, "calib": calib}
+    out = recon.gen_mesh(data, os.path.join(tmp_path, "coarse.obj"),
+                         resolution=32)
+    assert os.path.exists(os.path.join(tmp_path, "coarse.obj"))
+    assert len(out["verts"]) > 0
