@@ -178,3 +178,57 @@ def shard_train_step(step_fn: Callable, mesh: Mesh,
         in_shardings=(repl, repl, data),
         out_shardings=(repl, repl, repl),
     )
+
+
+def make_gan_normal_train_step(
+    gen_apply: Callable,
+    disc_apply: Callable,
+    tx_g: optax.GradientTransformation,
+    tx_d: optax.GradientTransformation,
+    perceptual_fn: Callable | None = None,
+    l1_weight: float = 5.0,
+    gan_weight: float = 1.0,
+) -> Callable:
+    """Adversarial normal-map training (beyond-reference option).
+
+    The reference defines GANLoss and the multiscale discriminators
+    (networks.py:61-72,342-384) but never wires them into a driver; this
+    step makes them usable: the generator minimizes
+    ``l1_weight*L1 + perceptual + gan_weight*lsgan(D(input, fake), real=1)``
+    and the discriminator the standard lsgan real/fake objective on
+    (input, map) pairs.
+
+    ``disc_apply(params, images, maps) -> list[list[feat]]`` (multiscale).
+    """
+    from ..ops.losses import multiscale_gan_loss
+
+    def step(g_params, d_params, g_state, d_state, batch):
+        def g_loss_fn(gp):
+            fake = gen_apply(gp, batch["images"])
+            loss = l1_weight * l1(fake, batch["target"])
+            if perceptual_fn is not None:
+                loss = loss + perceptual_fn(batch["target"], fake,
+                                            batch["style"])
+            d_out = disc_apply(d_params, batch["images"], fake)
+            loss = loss + gan_weight * multiscale_gan_loss(d_out, True)
+            return loss, fake
+
+        (g_loss, fake), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(g_params)
+        g_updates, g_state = tx_g.update(g_grads, g_state, g_params)
+        g_params = optax.apply_updates(g_params, g_updates)
+
+        def d_loss_fn(dp):
+            real_out = disc_apply(dp, batch["images"], batch["target"])
+            fake_out = disc_apply(dp, batch["images"],
+                                  jax.lax.stop_gradient(fake))
+            return 0.5 * (multiscale_gan_loss(real_out, True)
+                          + multiscale_gan_loss(fake_out, False))
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(d_params)
+        d_updates, d_state = tx_d.update(d_grads, d_state, d_params)
+        d_params = optax.apply_updates(d_params, d_updates)
+        return g_params, d_params, g_state, d_state, {
+            "g_loss": g_loss, "d_loss": d_loss}
+
+    return step

@@ -204,3 +204,44 @@ def test_alternating_curriculum_smoke(synth_root, tmp_path):
                                fine_epochs=1, max_steps=1)
     assert "netG" in params["params"]
     assert "netF" in params["params"]["netG"]
+
+
+def test_gan_normal_training_step(synth_root, tmp_path):
+    """GAN-mode normal training: G and D both update, losses finite."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rgbd_pifuhd_tpu.models.pix2pix import (
+        GlobalGenerator, MultiscaleDiscriminator)
+    from rgbd_pifuhd_tpu.train.trainers import (
+        make_gan_normal_train_step, make_optimizer)
+
+    gen = GlobalGenerator(output_nc=3, ngf=8, n_downsampling=2, n_blocks=1)
+    disc = MultiscaleDiscriminator(ndf=8, n_layers=2, num_D=2)
+    r = np.random.default_rng(0)
+    images = jnp.asarray(r.standard_normal((1, 64, 64, 6)).astype(np.float32))
+    target = jnp.asarray(r.standard_normal((1, 64, 64, 3)).astype(np.float32))
+
+    g_params = gen.init(jax.random.PRNGKey(0), images)
+    d_params = disc.init(jax.random.PRNGKey(1),
+                         jnp.concatenate([images, target], -1))
+
+    def disc_apply(p, imgs, maps):
+        return disc.apply(p, jnp.concatenate([imgs, maps], -1))
+
+    tx_g = make_optimizer("adam", 1e-3)
+    tx_d = make_optimizer("adam", 1e-3)
+    step = jax.jit(make_gan_normal_train_step(
+        lambda p, x: gen.apply(p, x), disc_apply, tx_g, tx_d))
+
+    g_state, d_state = tx_g.init(g_params), tx_d.init(d_params)
+    before_g = jax.tree_util.tree_leaves(g_params)[0].copy()
+    before_d = jax.tree_util.tree_leaves(d_params)[0].copy()
+    batch = {"images": images, "target": target}
+    g_params, d_params, g_state, d_state, m = step(
+        g_params, d_params, g_state, d_state, batch)
+    assert np.isfinite(float(m["g_loss"])) and np.isfinite(float(m["d_loss"]))
+    assert not np.allclose(np.asarray(before_g),
+                           np.asarray(jax.tree_util.tree_leaves(g_params)[0]))
+    assert not np.allclose(np.asarray(before_d),
+                           np.asarray(jax.tree_util.tree_leaves(d_params)[0]))
