@@ -131,6 +131,8 @@ def train_fine(opt: Options, mesh=None, max_steps: int | None = None,
     for epoch in range(opt.num_epoch):
         for batch in _batches(dataset, opt.batch_size, collate_fine,
                               opt.seed + epoch):
+            if max_steps is not None and global_step >= max_steps:
+                break
             with logger.timer.phase("net"):
                 params, opt_state, metrics = step(params, opt_state, batch)
                 loss = float(metrics["loss"])
@@ -184,6 +186,8 @@ def pretrain_coarse(opt: Options, mesh=None, max_steps: int | None = None,
     for epoch in range(opt.num_epoch):
         for batch in _batches(dataset, opt.batch_size, collate_coarse,
                               opt.seed + epoch):
+            if max_steps is not None and global_step >= max_steps:
+                break
             with logger.timer.phase("net"):
                 params, opt_state, metrics = step(params, opt_state, batch)
                 loss = float(metrics["loss"])

@@ -245,3 +245,34 @@ def test_gan_normal_training_step(synth_root, tmp_path):
                            np.asarray(jax.tree_util.tree_leaves(g_params)[0]))
     assert not np.allclose(np.asarray(before_d),
                            np.asarray(jax.tree_util.tree_leaves(d_params)[0]))
+
+
+def test_continue_train_resumes_checkpoint(synth_root, tmp_path):
+    """--continue_train must load netMR_latest params (reference
+    train.py:127-137 semantics)."""
+    import jax
+    import numpy as np
+    from rgbd_pifuhd_tpu.train.loop import train_fine
+    from rgbd_pifuhd_tpu.utils import checkpoint as ckpt
+
+    opt = make_opt(synth_root, str(tmp_path))
+    p1 = train_fine(opt, max_steps=1)
+    saved = ckpt.load_checkpoint(
+        ckpt.latest_path(opt.checkpoints_path, opt.name))["params"]
+
+    opt.continue_train = True
+    # run zero steps: returned params must equal the checkpoint exactly
+    p2 = train_fine(opt, max_steps=0)
+    a = jax.tree_util.tree_leaves(saved)
+    b = jax.tree_util.tree_leaves(p2)
+    assert all(np.allclose(x, y) for x, y in zip(a, b))
+
+
+def test_profiler_trace_writes(tmp_path):
+    import jax.numpy as jnp
+    from rgbd_pifuhd_tpu.utils.logging import profile_trace
+
+    d = str(tmp_path / "trace")
+    with profile_trace(d):
+        (jnp.ones((64, 64)) @ jnp.ones((64, 64))).block_until_ready()
+    assert os.path.isdir(d) and os.listdir(d)
