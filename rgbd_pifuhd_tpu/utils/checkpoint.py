@@ -80,3 +80,38 @@ def latest_path(checkpoints_path: str, name: str) -> str:
 
 def epoch_path(checkpoints_path: str, name: str, epoch: int) -> str:
     return os.path.join(checkpoints_path, f"{name}_train_epoch_{epoch}")
+
+
+# ------------------------------------------------------------- orbax backend
+def save_checkpoint_orbax(path: str, params: Any, opt: Options,
+                          opt_netG: Options | None = None,
+                          epoch: int = 0) -> None:
+    """Directory-based Orbax checkpoint (production alternative to the
+    single-file msgpack format; async-capable, sharding-aware)."""
+    import json
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.join(path, "params"), _to_pure(params))
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({
+            "opt": json.loads(json.dumps(opt.to_dict())),
+            "opt_netG": json.loads(json.dumps((opt_netG or opt).to_dict())),
+            "epoch": epoch,
+        }, f)
+
+
+def load_checkpoint_orbax(path: str, params_like: Any) -> dict:
+    """Restore an Orbax checkpoint; ``params_like`` supplies the tree
+    structure/shapes (e.g. a freshly-initialized variables pytree)."""
+    import json
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        params = ckptr.restore(os.path.join(path, "params"),
+                               _to_pure(params_like))
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    return {"params": params, **meta}

@@ -276,3 +276,27 @@ def test_profiler_trace_writes(tmp_path):
     with profile_trace(d):
         (jnp.ones((64, 64)) @ jnp.ones((64, 64))).block_until_ready()
     assert os.path.isdir(d) and os.listdir(d)
+
+
+def test_orbax_checkpoint_roundtrip(synth_root, tmp_path):
+    import jax
+    import numpy as np
+    from rgbd_pifuhd_tpu.utils import checkpoint as ckpt
+    from rgbd_pifuhd_tpu.train.loop import (build_multires,
+                                            init_multires_params)
+    from rgbd_pifuhd_tpu.data.datasets import TrainDataset
+
+    opt = make_opt(synth_root, str(tmp_path))
+    ds = TrainDataset(opt)
+    model = build_multires(opt)
+    params = init_multires_params(opt, model, ds[0])
+
+    path = os.path.join(str(tmp_path), "orbax_ck")
+    ckpt.save_checkpoint_orbax(path, params, opt, epoch=7)
+    state = ckpt.load_checkpoint_orbax(path, params)
+    assert state["epoch"] == 7
+    a = jax.tree_util.tree_leaves(params)
+    b = jax.tree_util.tree_leaves(state["params"])
+    assert all(np.allclose(x, y) for x, y in zip(a, b))
+    restored, _ = ckpt.restore_options(opt, state)
+    assert restored.num_sample_inout == opt.num_sample_inout
