@@ -158,3 +158,22 @@ def test_global_generator_shapes(rng):
     y, _ = g.init_with_output(jax.random.PRNGKey(0), x)
     assert y.shape == (1, 64, 64, 3)
     assert float(jnp.abs(y).max()) <= 1.0  # tanh head
+
+
+def test_coarse_perspective_projection(rng):
+    """projection_mode='perspective' runs end-to-end through query."""
+    import dataclasses
+    cfg = dataclasses.replace(tiny_global(), projection_mode="perspective")
+    model = CoarsePIFu(cfg)
+    B, N = 1, 16
+    images = jnp.asarray(rng.standard_normal((B, 64, 64, 6)).astype(np.float32))
+    # points in front of the camera (z > 0 for a sane perspective divide)
+    points = jnp.asarray(
+        rng.uniform(-0.3, 0.3, (B, N, 3)).astype(np.float32)) + jnp.array(
+        [0.0, 0.0, 2.0])
+    labels = jnp.zeros((B, N, 1), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), images, points, eye_calib(B),
+                        labels)
+    err, out = model.apply(params, images, points, eye_calib(B), labels)
+    assert np.isfinite(float(err))
+    assert out.preds.shape[-2] == N

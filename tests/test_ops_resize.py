@@ -74,3 +74,17 @@ def test_losses_custom_bce_matches_reference_formula(rng):
     theirs = float((loss * tw).mean())
 
     assert abs(ours - theirs) < 1e-6
+
+
+def test_custom_bce_brock_variant(rng):
+    """brock=True rescales gt to [-1, 2] (net_util.py:54-57)."""
+    import jax.numpy as jnp
+    from rgbd_pifuhd_tpu.ops.losses import custom_bce
+
+    pred = jnp.asarray(rng.uniform(0.1, 0.9, (1, 10, 1)).astype(np.float32))
+    gt = jnp.asarray((rng.uniform(0, 1, (1, 10, 1)) > 0.5).astype(np.float32))
+    gamma = jnp.array([0.5])
+    plain = float(custom_bce(pred, gt, gamma))
+    brock = float(custom_bce(pred, gt, gamma, brock=True))
+    assert np.isfinite(plain) and np.isfinite(brock)
+    assert abs(plain - brock) > 1e-6  # genuinely different objective
