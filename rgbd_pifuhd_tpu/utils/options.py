@@ -244,6 +244,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--end_id", type=int, default=-1)
     p.add_argument("--use_color", type=int, default=0)
     p.add_argument("--no_octree", action="store_true")
+    p.add_argument("--num_refine_cells", type=int, default=12288,
+                   help="two-phase refinement budget (cells of 8^3 voxels)")
     # Sampling
     p.add_argument("--num_sample_inout", type=int, default=300)
     p.add_argument("--sigma", type=float, default=1.0)
@@ -284,6 +286,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # Parallelism / numerics (new)
     p.add_argument("--mesh_shape", type=int, nargs="+", default=[-1])
     p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   help="activation dtype for convs/MLP (bfloat16|float32)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize hourglass stacks (training memory)")
     # Aug
     p.add_argument("--aug_bri", type=float, default=0.2)
     p.add_argument("--aug_con", type=float, default=0.2)
@@ -307,6 +313,7 @@ def parse_options(argv: Sequence[str] | None = None) -> Options:
         mlp_norm=args.mlp_norm, merge_layer=args.merge_layer,
         use_depth=use_d, use_front_normal=use_f, use_back_normal=use_b,
         load_size=args.loadSize, z_size=args.z_size,
+        compute_dtype=args.compute_dtype, remat=args.remat,
     )
     netMR = PIFuLevelConfig(
         num_stack=args.num_stack_local, hg_depth=args.hg_depth_local,
@@ -316,6 +323,7 @@ def parse_options(argv: Sequence[str] | None = None) -> Options:
         mlp_norm=args.mlp_norm, merge_layer=-1,
         use_depth=use_d, use_front_normal=use_f, use_back_normal=use_b,
         load_size=args.loadSize, z_size=args.z_size,
+        compute_dtype=args.compute_dtype, remat=args.remat,
     )
     opt = Options(
         dataset=args.dataset, dataroot=args.dataroot, load_size=args.loadSize,
@@ -331,6 +339,7 @@ def parse_options(argv: Sequence[str] | None = None) -> Options:
         resolution=args.resolution, start_id=args.start_id,
         end_id=args.end_id, use_color=args.use_color,
         use_octree=not args.no_octree,
+        num_refine_cells=args.num_refine_cells,
         num_sample_inout=args.num_sample_inout,
         sigma=args.sigma_max if args.sigma_max > 0 else args.sigma,
         sigma_max=args.sigma_max, sigma_min=args.sigma_min,
