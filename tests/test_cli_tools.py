@@ -1,0 +1,45 @@
+"""Smoke tests for the diagnostic CLI tools."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def test_plot_error_cli(tmp_path, capsys):
+    from rgbd_pifuhd_tpu.cli.plot_error import main
+    from rgbd_pifuhd_tpu.utils.logging import TrainLogger
+
+    logger = TrainLogger("demo_netG", out_dir=str(tmp_path))
+    for v in np.linspace(0.5, 0.1, 20):
+        logger.record(float(v))
+    logger.save_epoch_errors(0)
+
+    main(["--out_dir", str(tmp_path), "--name", "demo",
+          "--save", os.path.join(tmp_path, "loss.png")])
+    out = capsys.readouterr().out
+    assert "netG" in out and "20 iters" in out
+
+
+def test_debug_vis_cli(tmp_path, capsys):
+    from rgbd_pifuhd_tpu.data.synthetic import generate_synthetic_dataset
+    from rgbd_pifuhd_tpu.cli.debug_vis import main
+
+    root = os.path.join(tmp_path, "td")
+    generate_synthetic_dataset(root, subjects=("sphere",), size=64,
+                               load_size=64)
+    ply = os.path.join(tmp_path, "s.ply")
+    main(["--dataroot", root, "--ply", ply,
+          "--out", os.path.join(tmp_path, "vis.png")])
+    out = capsys.readouterr().out
+    assert "subject=sphere" in out
+    assert os.path.exists(ply)
+
+
+def test_print_options(capsys):
+    from rgbd_pifuhd_tpu.utils.options import Options, print_options
+
+    opt = Options(resolution=128)
+    print_options(opt)
+    out = capsys.readouterr().out
+    assert "resolution" in out and "[default: 512]" in out
