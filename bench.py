@@ -44,7 +44,6 @@ def main():
     import jax.numpy as jnp
     from rgbd_pifuhd_tpu.models import MultiResPIFu
     from rgbd_pifuhd_tpu.recon.pipeline import Reconstructor
-    from rgbd_pifuhd_tpu.recon.marching import marching_tetrahedra
     from rgbd_pifuhd_tpu.utils.options import Options
     from __graft_entry__ import _configs
 

@@ -17,7 +17,6 @@ from __future__ import annotations
 import os
 import sys
 
-import numpy as np
 
 
 def main(argv=None):
@@ -33,7 +32,7 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     from ..models.multires import MultiResPIFu
-    from ..recon.pipeline import Reconstructor, estimate_back_colors
+    from ..recon.pipeline import Reconstructor
     from ..utils import checkpoint as ckpt
     from ..data.readdata import InferenceDataset
 

@@ -19,7 +19,7 @@ from ..train.loop import (
     train_alternating,
     train_fine,
 )
-from ..utils.options import build_arg_parser, parse_options, print_options
+from ..utils.options import parse_options, print_options
 
 
 def main(argv=None):

@@ -135,9 +135,6 @@ def ray_any_hit(origins: np.ndarray, direction: np.ndarray,
     ro = (origins + eps * d) @ R.T
 
     tester = MeshContainmentTester(rv, faces)
-    # reuse the binned structure: any crossing above counts as a hit
-    from .containment import _parity  # same triangle kernel
-
     g = tester.grid_res
     out = np.zeros(len(ro), dtype=bool)
     in_xy = np.all(

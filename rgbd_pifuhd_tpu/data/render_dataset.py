@@ -21,8 +21,8 @@ import os
 import numpy as np
 
 from ..recon.mesh import load_obj, compute_vertex_normals
-from .render import compute_prt, sh_basis, sh_shade, rotate_sh_coeffs
-from .synthetic import normalize_mesh_height, rasterize_ortho, rotation_y
+from .render import compute_prt, sh_shade, rotate_sh_coeffs
+from .synthetic import rasterize_ortho, rotation_y
 
 
 def _default_sh_env() -> np.ndarray:

@@ -23,8 +23,6 @@ the caller casting inputs (mixed precision), since norms recompute in f32.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
-
 import jax.numpy as jnp
 import flax.linen as nn
 

@@ -24,7 +24,6 @@ output geometry as torch k3/s2/p1/output_padding=1.
 
 from __future__ import annotations
 
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

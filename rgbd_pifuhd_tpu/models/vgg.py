@@ -17,9 +17,7 @@ fallback; the loss surface is documented as such.
 
 from __future__ import annotations
 
-from typing import Sequence
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

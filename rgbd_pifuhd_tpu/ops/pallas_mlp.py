@@ -27,10 +27,8 @@ wrapper level; zero weights keep results exact.
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

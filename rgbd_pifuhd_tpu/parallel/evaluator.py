@@ -23,7 +23,6 @@ from __future__ import annotations
 
 from typing import Callable
 
-import jax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 

@@ -18,9 +18,7 @@ subjects reuses the compiled executables (static shapes per resolution).
 
 from __future__ import annotations
 
-import os
 import time
-from functools import partial
 from typing import Any
 
 import numpy as np

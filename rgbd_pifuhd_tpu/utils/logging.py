@@ -9,7 +9,6 @@ version, plus jax.profiler tracing the reference lacks (SURVEY.md section 5).
 from __future__ import annotations
 
 import contextlib
-import json
 import os
 import time
 
