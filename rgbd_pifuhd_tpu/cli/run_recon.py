@@ -78,24 +78,42 @@ def main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
 
     start = 0 if opt.start_id < 0 else opt.start_id
-    end = len(dataset) if opt.end_id < 0 else opt.end_id
-    for i in range(start, min(end, len(dataset))):
+    end = min(len(dataset) if opt.end_id < 0 else opt.end_id, len(dataset))
+    if opt.use_color not in (0, 1, 2):
+        raise SystemExit(f"unknown use_color {opt.use_color}")
+
+    def load(i):
         data = dict(dataset[i])
         if data["img_512"].ndim == 3:
             data["img_512"] = data["img_512"][None]
-        save_path = os.path.join(
+        return data
+
+    def path_for(data):
+        return os.path.join(
             out_dir, f"result_{data['name']}_{opt.resolution}.obj")
-        print(save_path)
-        if opt.use_color == 0:
-            r = recon.gen_mesh(data, save_path, opt.resolution)
-        elif opt.use_color == 1:
-            r = recon.gen_mesh_img_color(data, save_path, opt.resolution)
-        elif opt.use_color == 2:
-            r = recon.gen_mesh_img_color(data, save_path, opt.resolution,
-                                         cleanup=True)
-        else:
-            raise SystemExit(f"unknown use_color {opt.use_color}")
-        print(f"  verts={len(r['verts'])} secs={r['secs']:.2f}")
+
+    if opt.use_octree and end - start > 1:
+        # two-slot pipeline: subject i's host marching/coloring/IO overlaps
+        # subject i+1's device evaluation (see Reconstructor.gen_mesh_many)
+        datas = [load(i) for i in range(start, end)]
+        paths = [path_for(d) for d in datas]
+        for p in paths:
+            print(p)
+        results = recon.gen_mesh_many(datas, paths, use_color=opt.use_color,
+                                      resolution=opt.resolution)
+        for p, r in zip(paths, results):
+            print(f"{p}: verts={len(r['verts'])} secs={r['secs']:.2f}")
+    else:
+        for i in range(start, end):
+            data = load(i)
+            save_path = path_for(data)
+            print(save_path)
+            if opt.use_color == 0:
+                r = recon.gen_mesh(data, save_path, opt.resolution)
+            else:
+                r = recon.gen_mesh_img_color(data, save_path, opt.resolution,
+                                             cleanup=opt.use_color == 2)
+            print(f"  verts={len(r['verts'])} secs={r['secs']:.2f}")
 
 
 if __name__ == "__main__":

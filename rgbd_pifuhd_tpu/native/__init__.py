@@ -4,7 +4,10 @@ The compute path is JAX/XLA on TPU; these are the HOST-side kernels around
 it (SURVEY.md: the reference leans on skimage/trimesh native code for these
 — we ship our own):
 
-- marching.cc — marching tetrahedra isosurface extraction
+- marching.cc — marching tetrahedra isosurface extraction (dense, masked,
+  and sparse-direct variants)
+- meshio.cc   — sparse-volume densify + OBJ writer
+- raster.cc   — orthographic z-buffer rasterizer (offline data generation)
 
 Built with g++ -O3 into ``_build/`` on first import (no pip), loaded via
 ctypes.  ``load_marching()`` returns None if no compiler is available; the
@@ -81,8 +84,58 @@ def load_marching():
                 ctypes.c_int64,                    # n_cells
                 ctypes.c_int,                      # factor
             ] + out_args
+            lib.mt_run_sparse.restype = ctypes.c_int
+            lib.mt_run_sparse.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),   # corner_q [(n+1)^3]
+                ctypes.POINTER(ctypes.c_int32),   # top_idx [K]
+                ctypes.c_int64,                    # K
+                ctypes.POINTER(ctypes.c_uint8),   # refined packed
+                ctypes.c_int64,                    # n (cells/axis)
+                ctypes.c_int,                      # factor
+                ctypes.c_int64,                    # res
+                ctypes.c_int,                      # pack_bits
+                ctypes.c_float,                    # band_scale
+                ctypes.c_float,                    # thresh
+                ctypes.POINTER(ctypes.c_int8),    # case table
+                ctypes.c_int,                      # n_threads
+                ctypes.POINTER(ctypes.c_int32),   # scan cells [K', 3]
+                ctypes.c_int64,                    # n_cells
+            ] + out_args
             lib.mt_free.argtypes = [ctypes.c_void_p]
         _CACHE["marching"] = lib
+        return lib
+
+
+def load_raster():
+    """ctypes handle to the orthographic rasterizer kernel, or None."""
+    with _LOCK:
+        if "raster" in _CACHE:
+            return _CACHE["raster"]
+        so = _build_lib("raster", ["raster.cc"])
+        lib = None
+        if so:
+            lib = ctypes.CDLL(so)
+            lib.raster_ortho.restype = ctypes.c_int
+            lib.raster_ortho.argtypes = [
+                ctypes.POINTER(ctypes.c_double),  # px
+                ctypes.POINTER(ctypes.c_double),  # py
+                ctypes.POINTER(ctypes.c_double),  # pz
+                ctypes.c_int64,                    # V
+                ctypes.POINTER(ctypes.c_double),  # vn [V,3]
+                ctypes.POINTER(ctypes.c_double),  # vshade (nullable)
+                ctypes.c_int,                      # shade_ch
+                ctypes.POINTER(ctypes.c_int32),   # faces
+                ctypes.c_int64,                    # F
+                ctypes.c_int64,                    # size
+                ctypes.POINTER(ctypes.c_double),  # albedo [3]
+                ctypes.POINTER(ctypes.c_double),  # light [3]
+                ctypes.POINTER(ctypes.c_float),   # zbuf
+                ctypes.POINTER(ctypes.c_float),   # nbuf
+                ctypes.POINTER(ctypes.c_float),   # rgb
+                ctypes.POINTER(ctypes.c_uint8),   # mask
+                ctypes.c_int,                      # n_threads
+            ]
+        _CACHE["raster"] = lib
         return lib
 
 

@@ -88,29 +88,57 @@ const int kCorner[8][3] = {
     {0, 0, 1}, {1, 0, 1}, {1, 1, 1}, {0, 1, 1},
 };
 
+// Scalar-field views: both expose value(linear id) + the lattice shape so
+// process_cube is written once and instantiated per storage layout.
+
+// dense res^3 (or X*Y*Z) float volume
+struct DenseField {
+  const float* vol;
+  int64_t Y, Z, YZ;
+  inline float value(int64_t id) const { return vol[id]; }
+};
+
+// sparse two-phase result (grid.py eval_grid_two_phase_sparse): quantized
+// corner-lattice fill per cell + packed quantized refined blocks.  Voxel
+// reads dequantize through a (levels+1)-entry LUT — the dense volume is
+// never materialized.
+struct SparseField {
+  const uint8_t* refined;   // [K, f3/per_byte] packed
+  const int32_t* block_of;  // [n^3] cell -> refined row (or -1)
+  const float* fill;        // [n^3] per-cell corner-interp fill
+  const float* lut;         // [levels+1] dequantization table
+  int64_t n, res, YZ;       // YZ = res*res (lattice is res^3)
+  int64_t Y, Z;             // = res, res (id decode parity with DenseField)
+  int fshift;               // log2(factor)
+  int64_t fmask;            // factor-1
+  int64_t f, f3, packed_w;
+  bool nibble;              // 4-bit packing (two voxels/byte)
+
+  inline float value(int64_t id) const {
+    const int64_t x = id / YZ, y = (id / res) % res, z = id % res;
+    const int64_t cx = x >> fshift, cy = y >> fshift, cz = z >> fshift;
+    const int64_t cell = (cx * n + cy) * n + cz;
+    const int32_t bi = block_of[cell];
+    if (bi < 0) return fill[cell];
+    const int64_t li =
+        (((x & fmask) * f) + (y & fmask)) * f + (z & fmask);
+    if (nibble) {
+      const uint8_t b = refined[bi * packed_w + (li >> 1)];
+      return lut[(li & 1) ? (b >> 4) : (b & 0x0F)];
+    }
+    return lut[refined[bi * f3 + li]];
+  }
+};
+
 // process one cube at (x, y, z): emit triangles into `out`, dedup via `map`
+template <typename Field>
 static inline void process_cube(
-    const float* vol, int64_t YZ, int64_t Y, int64_t Z, float thresh,
+    const Field& fld, float thresh,
     const int8_t* case_table, int64_t x, int64_t y, int64_t z,
     ThreadOut& out, EdgeMap& map) {
-  const float* p0 = vol + x * YZ + y * Z;
-  const float* p1 = vol + x * YZ + (y + 1) * Z;
-  const float* p2 = vol + (x + 1) * YZ + y * Z;
-  const float* p3 = vol + (x + 1) * YZ + (y + 1) * Z;
-  const float v000 = p0[z], v001 = p0[z + 1];
-  const float v010 = p1[z], v011 = p1[z + 1];
-  const float v100 = p2[z], v101 = p2[z + 1];
-  const float v110 = p3[z], v111 = p3[z + 1];
-  const bool b000 = v000 > thresh, b001 = v001 > thresh;
-  const bool b010 = v010 > thresh, b011 = v011 > thresh;
-  const bool b100 = v100 > thresh, b101 = v101 > thresh;
-  const bool b110 = v110 > thresh, b111 = v111 > thresh;
-  const int sum = b000 + b001 + b010 + b011 + b100 + b101 + b110 + b111;
-  if (sum == 0 || sum == 8) return;
-
+  const int64_t YZ = fld.YZ, Y = fld.Y, Z = fld.Z;
   const int64_t base = x * YZ + y * Z + z;
   int64_t ids[8];
-  bool ins[8];
   ids[0] = base;
   ids[1] = base + YZ;
   ids[2] = base + YZ + Z;
@@ -119,8 +147,15 @@ static inline void process_cube(
   ids[5] = base + YZ + 1;
   ids[6] = base + YZ + Z + 1;
   ids[7] = base + Z + 1;
-  ins[0] = b000; ins[1] = b100; ins[2] = b110; ins[3] = b010;
-  ins[4] = b001; ins[5] = b101; ins[6] = b111; ins[7] = b011;
+  float vals[8];
+  bool ins[8];
+  int sum = 0;
+  for (int i = 0; i < 8; ++i) {
+    vals[i] = fld.value(ids[i]);
+    ins[i] = vals[i] > thresh;
+    sum += ins[i];
+  }
+  if (sum == 0 || sum == 8) return;
 
   for (int tet = 0; tet < 6; ++tet) {
     const int* tv = kTets[tet];
@@ -133,14 +168,15 @@ static inline void process_cube(
       int32_t vid[3];
       for (int k = 0; k < 3; ++k) {
         const int e = row[tri * 3 + k];
-        int64_t a = ids[tv[kTetEdges[e][0]]];
-        int64_t b = ids[tv[kTetEdges[e][1]]];
-        if (a > b) { int64_t tmp = a; a = b; b = tmp; }
+        int la = tv[kTetEdges[e][0]];
+        int lb = tv[kTetEdges[e][1]];
+        if (ids[la] > ids[lb]) { int tmp = la; la = lb; lb = tmp; }
+        const int64_t a = ids[la], b = ids[lb];
         const uint64_t key = ((uint64_t)a << 32) | (uint64_t)(uint32_t)b;
         int32_t found = map.find(key);
         if (found < 0) {
-          const float va = vol[a];
-          const float vb = vol[b];
+          const float va = vals[la];
+          const float vb = vals[lb];
           float tt = (vb - va) != 0.f ? (thresh - va) / (vb - va) : 0.5f;
           if (tt < 0.f) tt = 0.f;
           if (tt > 1.f) tt = 1.f;
@@ -222,6 +258,7 @@ int mt_run(const float* vol, int64_t X, int64_t Y, int64_t Z, float thresh,
 
   std::vector<ThreadOut> outs(n_threads);
   std::vector<std::thread> threads;
+  const DenseField fld{vol, Y, Z, YZ};
 
   auto worker = [&](int t) {
     ThreadOut& out = outs[t];
@@ -232,7 +269,7 @@ int mt_run(const float* vol, int64_t X, int64_t Y, int64_t Z, float thresh,
     for (int64_t x = x0; x < x1; ++x)
       for (int64_t y = 0; y < Y - 1; ++y)
         for (int64_t z = 0; z < Z - 1; ++z)
-          process_cube(vol, YZ, Y, Z, thresh, case_table, x, y, z, out, map);
+          process_cube(fld, thresh, case_table, x, y, z, out, map);
   };
 
   for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker, t);
@@ -266,6 +303,7 @@ int mt_run_cells(const float* vol, int64_t X, int64_t Y, int64_t Z,
 
   std::vector<ThreadOut> outs(n_threads);
   std::vector<std::thread> threads;
+  const DenseField fld{vol, Y, Z, YZ};
 
   auto worker = [&](int t) {
     ThreadOut& out = outs[t];
@@ -290,8 +328,121 @@ int mt_run_cells(const float* vol, int64_t X, int64_t Y, int64_t Z,
             const unsigned char prev =
                 __atomic_fetch_or(&vis[cid >> 3], bit, __ATOMIC_RELAXED);
             if (prev & bit) continue;  // already claimed
-            process_cube(vol, YZ, Y, Z, thresh, case_table, x, y, z, out,
-                         map);
+            process_cube(fld, thresh, case_table, x, y, z, out, map);
+          }
+    }
+  };
+
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker, t);
+  for (auto& th : threads) th.join();
+
+  merge_outputs(outs, verts_out, n_verts, faces_out, n_faces);
+  return 0;
+}
+
+// Sparse-direct variant: extract the surface STRAIGHT from the quantized
+// two-phase result (grid.py eval_grid_two_phase_sparse) — the dense res^3
+// volume (536 MB at 512^3) is never materialized.  Voxel reads go through
+// SparseField: refined top-K cells read packed 4/8-bit blocks via a
+// dequantization LUT; all other cells read their constant corner-interp
+// fill.  Produces the identical mesh to densify + mt_run_cells.
+//
+// corner_q: [(n+1)^3] uint8 quantized corner lattice
+// top_idx:  [K] int32 refined cell linear ids
+// refined:  [K, f^3 / (8/pack_bits)] uint8 packed blocks
+// cells:    [n_cells, 3] int32 voxel origins of cells worth scanning
+int mt_run_sparse(const uint8_t* corner_q, const int32_t* top_idx,
+                  int64_t K, const uint8_t* refined,
+                  int64_t n, int factor, int64_t res,
+                  int pack_bits, float band_scale, float thresh,
+                  const int8_t* case_table, int n_threads,
+                  const int32_t* cells, int64_t n_cells,
+                  float** verts_out, int64_t* n_verts, int32_t** faces_out,
+                  int64_t* n_faces) {
+  if (n_threads <= 0) {
+    n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = 1;
+  }
+  if ((int64_t)n_threads > n_cells) n_threads = (int)(n_cells > 0 ? n_cells : 1);
+
+  // --- precompute: dequant LUT, cell->block map, per-cell fill ---------
+  const int levels = (1 << pack_bits) - 1;
+  std::vector<float> lut(levels + 1);
+  for (int q = 0; q <= levels; ++q)
+    lut[q] = ((float)q / (float)levels - 0.5f) / band_scale + 0.5f;
+
+  const int64_t n3 = n * n * n;
+  std::vector<int32_t> block_of(n3, -1);
+  for (int64_t k = 0; k < K; ++k) block_of[top_idx[k]] = (int32_t)k;
+
+  const int64_t n1 = n + 1;
+  std::vector<float> fill(n3);
+  {
+    std::vector<std::thread> ths;
+    const int nt = n_threads;
+    auto fw = [&](int t) {
+      const int64_t c0 = n3 * t / nt, c1 = n3 * (t + 1) / nt;
+      for (int64_t c = c0; c < c1; ++c) {
+        const int64_t cx = c / (n * n), cy = (c / n) % n, cz = c % n;
+        float mn = 2.f, mx = -1.f;
+        for (int dx = 0; dx < 2; ++dx)
+          for (int dy = 0; dy < 2; ++dy)
+            for (int dz = 0; dz < 2; ++dz) {
+              const float v = lut[corner_q[((cx + dx) * n1 + (cy + dy)) * n1
+                                           + (cz + dz)]];
+              mn = v < mn ? v : mn;
+              mx = v > mx ? v : mx;
+            }
+        fill[c] = 0.5f * (mn + mx);
+      }
+    };
+    for (int t = 0; t < nt; ++t) ths.emplace_back(fw, t);
+    for (auto& th : ths) th.join();
+  }
+
+  int fshift = 0;
+  while ((1 << fshift) < factor) ++fshift;
+  const int per_byte = 8 / pack_bits;
+  const int64_t f3 = (int64_t)factor * factor * factor;
+  const SparseField fld{
+      refined, block_of.data(), fill.data(), lut.data(),
+      n, res, res * res, res, res,
+      fshift, (int64_t)factor - 1,
+      (int64_t)factor, f3, f3 / per_byte, per_byte == 2};
+
+  // --- masked cube scan (same structure as mt_run_cells) ---------------
+  const int64_t ncx = res - 1, ncy = res - 1, ncz = res - 1;
+  const int64_t n_cubes = ncx * ncy * ncz;
+  std::vector<unsigned char> visited((n_cubes + 7) / 8, 0);
+  unsigned char* vis = visited.data();
+
+  std::vector<ThreadOut> outs(n_threads);
+  std::vector<std::thread> threads;
+
+  auto worker = [&](int t) {
+    ThreadOut& out = outs[t];
+    EdgeMap map(1 << 14);
+    const int64_t c0 = n_cells * t / n_threads;
+    const int64_t c1 = n_cells * (t + 1) / n_threads;
+    for (int64_t ci = c0; ci < c1; ++ci) {
+      const int64_t bx = cells[ci * 3 + 0];
+      const int64_t by = cells[ci * 3 + 1];
+      const int64_t bz = cells[ci * 3 + 2];
+      const int64_t x0 = bx > 0 ? bx - 1 : 0;
+      const int64_t y0 = by > 0 ? by - 1 : 0;
+      const int64_t z0 = bz > 0 ? bz - 1 : 0;
+      const int64_t x1 = bx + factor - 1 < ncx ? bx + factor - 1 : ncx - 1;
+      const int64_t y1 = by + factor - 1 < ncy ? by + factor - 1 : ncy - 1;
+      const int64_t z1 = bz + factor - 1 < ncz ? bz + factor - 1 : ncz - 1;
+      for (int64_t x = x0; x <= x1; ++x)
+        for (int64_t y = y0; y <= y1; ++y)
+          for (int64_t z = z0; z <= z1; ++z) {
+            const int64_t cid = (x * ncy + y) * ncz + z;
+            const unsigned char bit = (unsigned char)(1u << (cid & 7));
+            const unsigned char prev =
+                __atomic_fetch_or(&vis[cid >> 3], bit, __ATOMIC_RELAXED);
+            if (prev & bit) continue;
+            process_cube(fld, thresh, case_table, x, y, z, out, map);
           }
     }
   };

@@ -34,6 +34,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# Octree skip threshold: cells whose 8 corners disagree by less than this
+# are interpolated, not refined (reference mesh_util.py:179).  Used only for
+# the overflow diagnostic — refinement itself is rank-based, not thresholded.
+_SKIP_THRESHOLD = 0.05
+
 # query_fn: ([M, 3] world-space points, *query_args) -> [M] occupancy.
 # query_args carry the dynamic model state (params, image features, calib)
 # so the jitted evaluators compile ONCE per query_fn and are reused across
@@ -97,7 +102,7 @@ def eval_grid_two_phase(
     factor: int = 8,
     budget_cells: int = 49152,
     cells_per_chunk: int = 512,
-) -> jax.Array:
+):
     """Coarse-to-fine evaluation with a fixed refinement budget.
 
     Args:
@@ -107,6 +112,18 @@ def eval_grid_two_phase(
             18.75% of 64^3 — generous vs the ~5-10% of cells a human surface
             crosses; overflow cells fall back to the coarse fill.
         cells_per_chunk: refinement batch granularity.
+
+    Returns ``(volume [res,res,res] float32, diag dict)``.  ``diag`` reports
+    refinement-budget health (the reference's threshold-based octree never
+    silently under-refines, mesh_util.py:124-187; the fixed-budget redesign
+    can, so it must say when it did):
+
+        kth_activity — corner-disagreement of the LAST refined cell; if it
+            exceeds the skip threshold, cells beyond the budget wanted
+            refinement too.
+        n_active     — number of cells above the reference's 0.05 skip
+            threshold (mesh_util.py:179); overflow iff n_active > budget.
+        budget_cells — the (rounded) budget actually used.
     """
     res = resolution
     n = res // factor                      # cells per axis
@@ -155,7 +172,12 @@ def eval_grid_two_phase(
     ).reshape(res, res, res).reshape(-1)
 
     # ---------------- phase 2: refine top-K active cells ---------------
-    _, top_idx = lax.top_k(activity, budget_cells)      # [K] linear cell ids
+    top_vals, top_idx = lax.top_k(activity, budget_cells)  # [K] cell ids
+    diag = {
+        "kth_activity": top_vals[-1],
+        "n_active": jnp.sum(activity > _SKIP_THRESHOLD),
+        "budget_cells": jnp.asarray(budget_cells, jnp.int32),
+    }
     cbx = top_idx // (n * n)
     cby = (top_idx // n) % n
     cbz = top_idx % n
@@ -180,7 +202,7 @@ def eval_grid_two_phase(
         return vol_flat.at[lin].set(occ)
 
     vol = lax.fori_loop(0, n_chunks, body, vol)
-    return vol.reshape(res, res, res)
+    return vol.reshape(res, res, res), diag
 
 
 @partial(
@@ -208,6 +230,8 @@ def eval_grid_two_phase_sparse(
         corner_vals  [(n+1)^3] float32   — coarse corner lattice
         top_idx      [K] int32           — refined cell linear ids
         refined      [K, factor^3] uint8 — refined occupancy, quantized
+        diag         dict                — budget-overflow diagnostics
+                                           (see eval_grid_two_phase)
 
     ``densify_sparse_volume`` reassembles the dense NumPy volume on host.
     For res=512/K=12288 this shrinks the transfer from 536 MB to ~7 MB —
@@ -252,7 +276,12 @@ def eval_grid_two_phase_sparse(
         axis=0,
     )
     activity = (stack8.max(axis=0) - stack8.min(axis=0)).reshape(-1)
-    _, top_idx = lax.top_k(activity, budget_cells)
+    top_vals, top_idx = lax.top_k(activity, budget_cells)
+    diag = {
+        "kth_activity": top_vals[-1],
+        "n_active": jnp.sum(activity > _SKIP_THRESHOLD),
+        "budget_cells": jnp.asarray(budget_cells, jnp.int32),
+    }
 
     cbx = top_idx // (n * n)
     cby = (top_idx // n) % n
@@ -292,7 +321,7 @@ def eval_grid_two_phase_sparse(
         jnp.zeros((budget_cells, packed_width), jnp.uint8),
     )
     corner_q = quantize(corner_vals)
-    return corner_q, top_idx.astype(jnp.int32), refined
+    return corner_q, top_idx.astype(jnp.int32), refined, diag
 
 
 def sparse_scan_cells(corner_vals, top_idx, resolution: int,

@@ -168,6 +168,77 @@ def marching_tetrahedra_cells(
     return verts, faces
 
 
+def marching_tetrahedra_sparse(
+    corner_q: np.ndarray, top_idx: np.ndarray, refined: np.ndarray,
+    cell_origins: np.ndarray, resolution: int, factor: int = 8,
+    pack_bits: int = 4, band_scale: float = 4.0, threshold: float = 0.5,
+):
+    """Extract the surface DIRECTLY from the quantized sparse two-phase
+    result — no dense volume is ever materialized (the reference's path
+    materializes the full res^3 field before skimage MC, mesh_util.py:84;
+    at 512^3 that is a 536 MB buffer on the critical path).
+
+    Identical mesh to ``densify_sparse_volume`` + ``marching_tetrahedra_cells``
+    (the kernel reads refined cells through the same dequantization and all
+    other cells as their corner-interpolated fill).  Falls back to exactly
+    that pair when the native library is unavailable.
+
+    Args:
+        corner_q: ``[(n+1)^3]`` uint8 quantized coarse corner lattice.
+        top_idx: ``[K]`` int32 refined cell ids.
+        refined: ``[K, factor^3 * pack_bits / 8]`` uint8 packed blocks.
+        cell_origins: ``[K', 3]`` int32 voxel origins of cells to scan
+            (from ``sparse_scan_cells``).
+    """
+    from ..native import load_marching
+    import ctypes
+
+    lib = load_marching()
+    if lib is None or getattr(lib, "mt_run_sparse", None) is None:
+        from .grid import densify_sparse_volume
+        vol = densify_sparse_volume(corner_q, top_idx, refined, resolution,
+                                    factor=factor, pack_bits=pack_bits,
+                                    band_scale=band_scale)
+        return marching_tetrahedra_cells(vol, cell_origins, factor=factor,
+                                         threshold=threshold)
+    corner_q = np.ascontiguousarray(corner_q, dtype=np.uint8).reshape(-1)
+    top_idx = np.ascontiguousarray(top_idx, dtype=np.int32).reshape(-1)
+    refined = np.ascontiguousarray(refined, dtype=np.uint8)
+    cells = np.ascontiguousarray(cell_origins, dtype=np.int32)
+    table = np.ascontiguousarray(_case_table_packed())
+    n = resolution // factor
+    vp = ctypes.POINTER(ctypes.c_float)()
+    fp = ctypes.POINTER(ctypes.c_int32)()
+    nv = ctypes.c_int64()
+    nf = ctypes.c_int64()
+    rc = lib.mt_run_sparse(
+        corner_q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        top_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(len(top_idx)),
+        refined.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n), ctypes.c_int(factor), ctypes.c_int64(resolution),
+        ctypes.c_int(pack_bits), ctypes.c_float(band_scale),
+        ctypes.c_float(threshold),
+        table.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        0,
+        cells.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(len(cells)),
+        ctypes.byref(vp), ctypes.byref(nv), ctypes.byref(fp), ctypes.byref(nf),
+    )
+    if rc != 0:
+        from .grid import densify_sparse_volume
+        vol = densify_sparse_volume(corner_q, top_idx, refined, resolution,
+                                    factor=factor, pack_bits=pack_bits,
+                                    band_scale=band_scale)
+        return marching_tetrahedra_cells(vol, cell_origins, factor=factor,
+                                         threshold=threshold)
+    verts = np.ctypeslib.as_array(vp, shape=(nv.value, 3)).copy()
+    faces = np.ctypeslib.as_array(fp, shape=(nf.value, 3)).copy()
+    lib.mt_free(vp)
+    lib.mt_free(fp)
+    return verts, faces
+
+
 def _marching_native(volume: np.ndarray, threshold: float):
     """C++ kernel path; returns None if the native lib is unavailable."""
     from ..native import load_marching

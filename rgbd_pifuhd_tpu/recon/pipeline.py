@@ -37,16 +37,16 @@ from .grid import (
     sparse_scan_cells,
     create_grid_transform,
 )
-from .marching import marching_tetrahedra, marching_tetrahedra_cells
+from .marching import (
+    marching_tetrahedra,
+    marching_tetrahedra_cells,
+    marching_tetrahedra_sparse,
+)
 from .mesh import save_obj_with_color, keep_largest_component
 
 
 def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
     return np.pad(x, ((0, n - x.shape[0]),) + ((0, 0),) * (x.ndim - 1))
-
-
-def _bucket(n: int, quantum: int = 65536) -> int:
-    return max(quantum, -(-n // quantum) * quantum)
 
 
 def _surface_cells(top_idx: np.ndarray, vol: np.ndarray, n: int,
@@ -132,6 +132,7 @@ class Reconstructor:
 
         self._img_color = jax.jit(_img_color)
         self._vol_cache: dict[int, np.ndarray] = {}  # reused host buffers
+        self.last_grid_diag: dict | None = None  # refinement-budget health
 
     # ----------------------------------------------------------- filtering
     def encode(self, img_local: jax.Array, img_global: jax.Array):
@@ -163,11 +164,12 @@ class Reconstructor:
             budget = budget_cells or min(
                 getattr(self.opt, "num_refine_cells", 12288), n ** 3)
             if sparse_transfer:
-                corner, top_idx, refined = eval_grid_two_phase_sparse(
+                corner, top_idx, refined, diag = eval_grid_two_phase_sparse(
                     self._query, resolution, calib_inv,
                     self.params, l_feats, g_feats, calib,
                     factor=8, budget_cells=budget,
                 )
+                self._check_budget(diag)
                 corner, top_idx, refined = (
                     np.asarray(corner), np.asarray(top_idx),
                     np.asarray(refined))
@@ -180,19 +182,90 @@ class Reconstructor:
                     corner, top_idx, refined, resolution, factor=8,
                     scan_marks=marks, out=self._vol_cache[resolution])
                 return vol, cells
-            vol = eval_grid_two_phase(
+            vol, diag = eval_grid_two_phase(
                 self._query, resolution, calib_inv,
                 self.params, l_feats, g_feats, calib,
                 factor=8, budget_cells=budget,
             )
+            self._check_budget(diag)
         else:
             vol = eval_grid_dense(
                 self._query, resolution, calib_inv,
                 self.params, l_feats, g_feats, calib,
             )
+            self.last_grid_diag = None
         return np.asarray(vol), None  # THE one device->host transfer
 
+    def _check_budget(self, diag) -> None:
+        """Warn when the refinement budget under-covered the surface.
+
+        The reference's threshold-based octree refines EVERY active cell
+        (mesh_util.py:124-187); the fixed-budget redesign refines only the
+        top-K, so overflow must be loud: overflow cells silently degrade to
+        8x-coarser corner interpolation otherwise.
+        """
+        d = {"kth_activity": float(diag["kth_activity"]),
+             "n_active": int(diag["n_active"]),
+             "budget_cells": int(diag["budget_cells"])}
+        d["overflow_cells"] = max(0, d["n_active"] - d["budget_cells"])
+        self.last_grid_diag = d
+        if d["overflow_cells"] > 0:
+            import warnings
+            warnings.warn(
+                f"refinement budget overflow: {d['n_active']} active cells "
+                f"> budget {d['budget_cells']} "
+                f"({d['overflow_cells']} cells fall back to coarse "
+                f"interpolation; kth_activity={d['kth_activity']:.3f}). "
+                f"Raise --num_refine_cells.", RuntimeWarning, stacklevel=3)
+
     # ---------------------------------------------------------------- mesh
+    def evaluate_field(self, l_feats, g_feats, calib: jax.Array,
+                       resolution: int, budget_cells: int | None = None):
+        """Device phase of the sparse path: two-phase evaluation, sparse
+        transfer, surface-cell scan.  No dense volume is materialized.
+
+        Returns ``(corner, top_idx, refined, cells)`` host arrays — the
+        direct input of ``marching_tetrahedra_sparse``.  Split from
+        ``extract_mesh`` so a multi-subject driver can overlap subject
+        i+1's device evaluation with subject i's host marching.
+        """
+        calib_inv = jnp.linalg.inv(calib)
+        n = resolution // 8
+        budget = budget_cells or min(
+            getattr(self.opt, "num_refine_cells", 12288), n ** 3)
+        corner, top_idx, refined, diag = eval_grid_two_phase_sparse(
+            self._query, resolution, calib_inv,
+            self.params, l_feats, g_feats, calib,
+            factor=8, budget_cells=budget,
+        )
+        self._check_budget(diag)
+        corner, top_idx, refined = (
+            np.asarray(corner), np.asarray(top_idx), np.asarray(refined))
+        cells, _marks = sparse_scan_cells(corner, top_idx, resolution,
+                                          factor=8)
+        return corner, top_idx, refined, cells
+
+    @staticmethod
+    def extract_mesh(field, resolution: int, thresh: float = 0.5):
+        """Host phase: sparse-direct marching tetrahedra (no densify)."""
+        corner, top_idx, refined, cells = field
+        return marching_tetrahedra_sparse(
+            corner, top_idx, refined, cells, resolution, factor=8,
+            threshold=thresh)
+
+    @staticmethod
+    def _to_world(verts_idx: np.ndarray, faces: np.ndarray, calib,
+                  res: int):
+        """Index -> NDC -> world (trans_mat = calib_inv @ mat),
+        det-flip winding (reference mesh_util.py:86-92)."""
+        mat = create_grid_transform(res)
+        calib_inv = np.linalg.inv(np.asarray(calib, np.float64))
+        trans_mat = calib_inv @ mat
+        verts = verts_idx @ trans_mat[:3, :3].T + trans_mat[:3, 3]
+        if np.linalg.det(trans_mat[:3, :3]) < 0.0:
+            faces = faces[:, ::-1]
+        return verts.astype(np.float32), faces
+
     def reconstruct(self, data: dict, resolution: int | None = None,
                     use_octree: bool | None = None, thresh: float = 0.5):
         """Volume -> world-space mesh (reference mesh_util.py:40-96)."""
@@ -201,58 +274,96 @@ class Reconstructor:
 
         l_feats, g_feats = self.encode(data["img"], data["img_512"])
         calib = jnp.asarray(data["calib"], jnp.float32)
-        vol, cells = self.occupancy_volume(l_feats, g_feats, calib, res,
-                                           use_octree)
 
-        if cells is not None:
-            verts_idx, faces = marching_tetrahedra_cells(
-                vol, cells, factor=8, threshold=thresh)
+        if use_octree:
+            # sparse-direct: quantized blocks -> mesh, never a dense volume
+            field = self.evaluate_field(l_feats, g_feats, calib, res)
+            verts_idx, faces = self.extract_mesh(field, res, thresh)
         else:
+            vol, _ = self.occupancy_volume(l_feats, g_feats, calib, res,
+                                           use_octree=False)
             verts_idx, faces = marching_tetrahedra(vol, thresh)
         if len(verts_idx) == 0:
             raise RuntimeError("marching cubes produced an empty mesh")
 
-        # index -> NDC -> world (trans_mat = calib_inv @ mat)
-        mat = create_grid_transform(res)
-        calib_inv = np.linalg.inv(np.asarray(calib, np.float64))
-        trans_mat = calib_inv @ mat
-        verts = verts_idx @ trans_mat[:3, :3].T + trans_mat[:3, 3]
-        if np.linalg.det(trans_mat[:3, :3]) < 0.0:
-            faces = faces[:, ::-1]
-        return verts.astype(np.float32), faces, (l_feats, g_feats)
+        verts, faces = self._to_world(verts_idx, faces, calib, res)
+        return verts, faces, (l_feats, g_feats)
 
     # -------------------------------------------------------------- colors
+    # fd-normal coloring runs the full MLP at 4 fd-taps per vertex: one
+    # call over a 1M-vert mesh allocates a [4V, 1024] f32 temp (>10 GB) and
+    # OOMs a 16 GB chip.  Chunk like the reference (50k verts/call,
+    # reconstruction.py:61) at a fixed power-of-two size: ONE compile,
+    # bounded peak memory (~1 GB of MLP temps per chunk).
+    _COLOR_CHUNK = 65536
+
+    def _chunked(self, fn, verts: np.ndarray) -> np.ndarray:
+        V = len(verts)
+        chunk = self._COLOR_CHUNK
+        out = np.empty((V, 3), np.float32)
+        for s in range(0, V, chunk):
+            n = min(chunk, V - s)
+            vpad = jnp.asarray(_pad_to(verts[s:s + n], chunk))
+            out[s:s + n] = np.asarray(fn(vpad))[:n, :3]
+        return out
+
     def color_by_normals(self, verts: np.ndarray, feats, calib) -> np.ndarray:
         """fd-normal coloring (reference reconstruction.py:60-70)."""
         l_feats, g_feats = feats
-        V = len(verts)
-        pad = _bucket(V)
-        vpad = jnp.asarray(_pad_to(verts, pad))
-        nml = self._normals(self.params, l_feats, g_feats, vpad,
-                            jnp.asarray(calib, jnp.float32))
-        return np.asarray(nml)[:V] * 0.5 + 0.5
+        calib = jnp.asarray(calib, jnp.float32)
+        nml = self._chunked(
+            lambda v: self._normals(self.params, l_feats, g_feats, v, calib),
+            verts)
+        return nml * 0.5 + 0.5
 
     def color_by_image(self, verts: np.ndarray, image: jax.Array,
                        calib) -> np.ndarray:
         """Project verts into the image and sample colors
         (reference reconstruction.py:113-116)."""
-        V = len(verts)
-        pad = _bucket(V)
-        vpad = jnp.asarray(_pad_to(verts, pad))
-        col = self._img_color(jnp.asarray(image),
-                              vpad, jnp.asarray(calib, jnp.float32))
-        return np.asarray(col)[:V, :3] * 0.5 + 0.5
+        image = jnp.asarray(image)
+        calib = jnp.asarray(calib, jnp.float32)
+        col = self._chunked(
+            lambda v: self._img_color(image, v, calib), verts)
+        return col * 0.5 + 0.5
 
     # ----------------------------------------------------------- gen_mesh*
+    def _finish_normals(self, verts, faces, feats, data, save_path) -> dict:
+        colors = self.color_by_normals(verts, feats, data["calib"])
+        save_obj_with_color(save_path, verts, faces, colors)
+        self._save_montage(data, feats, save_path)
+        return {"verts": verts, "faces": faces}
+
+    def _finish_img_color(self, verts, faces, feats, data, save_path,
+                          cleanup: bool) -> dict:
+        colors = self.color_by_image(verts, data["img"][0], data["calib"])
+        # projected coords used by the back-color inpainting
+        xyz_proj = None
+        if cleanup:
+            xyz_proj = np.asarray(geom.orthogonal(
+                jnp.asarray(verts)[None],
+                jnp.asarray(data["calib"], jnp.float32)[None]))[0]
+        if "calib_world" in data and data["calib_world"] is not None:
+            cw_inv = np.linalg.inv(np.asarray(data["calib_world"], np.float64))
+            verts = verts @ cw_inv[:3, :3].T + cw_inv[:3, 3]
+        if cleanup:
+            verts2, faces, colors2 = keep_largest_component(
+                verts, faces, np.concatenate(
+                    [colors, xyz_proj, np.arange(len(verts))[:, None]], 1))
+            verts = verts2
+            colors, xyz_proj = colors2[:, :3], colors2[:, 3:6]
+            colors = estimate_back_colors(colors, xyz_proj)
+        save_obj_with_color(save_path, verts, faces, colors)
+        self._save_montage(data, feats, save_path)
+        return {"verts": verts, "faces": faces}
+
     def gen_mesh(self, data: dict, save_path: str, resolution=None,
                  use_octree=None) -> dict:
         """Normals-colored mesh (reference gen_mesh, reconstruction.py:25-75)."""
         t0 = time.time()
         verts, faces, feats = self.reconstruct(data, resolution, use_octree)
-        colors = self.color_by_normals(verts, feats, data["calib"])
-        save_obj_with_color(save_path, verts, faces, colors)
-        self._save_montage(data, feats, save_path)
-        return {"verts": verts, "faces": faces, "secs": time.time() - t0}
+        out = self._finish_normals(verts, faces, feats, data, save_path)
+        out.update(secs=time.time() - t0, grid_diag=self.last_grid_diag)
+        return out
 
     def gen_mesh_img_color(self, data: dict, save_path: str, resolution=None,
                            use_octree=None, cleanup: bool = False) -> dict:
@@ -265,27 +376,58 @@ class Reconstructor:
         """
         t0 = time.time()
         verts, faces, feats = self.reconstruct(data, resolution, use_octree)
-        colors = self.color_by_image(verts, data["img"][0], data["calib"])
-        # projected coords used by the back-color inpainting
-        xyz_proj = None
-        if cleanup:
-            xyz_proj = np.asarray(geom.orthogonal(
-                jnp.asarray(verts)[None],
-                jnp.asarray(data["calib"], jnp.float32)[None]))[0]
-        if "calib_world" in data and data["calib_world"] is not None:
-            cw_inv = np.linalg.inv(np.asarray(data["calib_world"], np.float64))
-            verts = verts @ cw_inv[:3, :3].T + cw_inv[:3, 3]
-        if cleanup:
-            keep_mask = np.ones(len(verts), dtype=bool)
-            verts2, faces, colors2 = keep_largest_component(
-                verts, faces, np.concatenate(
-                    [colors, xyz_proj, np.arange(len(verts))[:, None]], 1))
-            verts = verts2
-            colors, xyz_proj = colors2[:, :3], colors2[:, 3:6]
-            colors = estimate_back_colors(colors, xyz_proj)
-        save_obj_with_color(save_path, verts, faces, colors)
-        self._save_montage(data, feats, save_path)
-        return {"verts": verts, "faces": faces, "secs": time.time() - t0}
+        out = self._finish_img_color(verts, faces, feats, data, save_path,
+                                     cleanup)
+        out.update(secs=time.time() - t0, grid_diag=self.last_grid_diag)
+        return out
+
+    def gen_mesh_many(self, items, save_paths, use_color: int = 0,
+                      resolution: int | None = None) -> list[dict]:
+        """Two-slot subject pipeline: subject i's HOST stage (sparse-direct
+        marching, coloring, OBJ write) runs on a worker thread while subject
+        i+1's DEVICE stage (encode + grid evaluation + transfer) proceeds on
+        the main thread.  The reference loops subjects fully serially
+        (reconstruction.py:307-321).
+
+        ``items`` yields data dicts (same contract as gen_mesh); octree
+        sparse path only.  Coloring dispatches small device calls from the
+        worker thread — they interleave harmlessly with the next subject's
+        evaluation.  Returns result dicts in input order.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        res = resolution or self.opt.resolution
+
+        def host_stage(field, feats, data, save_path, t0, diag):
+            verts_idx, faces = self.extract_mesh(field, res)
+            if len(verts_idx) == 0:
+                raise RuntimeError("marching produced an empty mesh")
+            verts, faces = self._to_world(verts_idx, faces, data["calib"],
+                                          res)
+            if use_color == 0:
+                out = self._finish_normals(verts, faces, feats, data,
+                                           save_path)
+            else:
+                out = self._finish_img_color(verts, faces, feats, data,
+                                             save_path, cleanup=use_color == 2)
+            out.update(secs=time.time() - t0, grid_diag=diag)
+            return out
+
+        results = []
+        pending = None
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            for data, save_path in zip(items, save_paths):
+                t0 = time.time()
+                feats = self.encode(data["img"], data["img_512"])
+                calib = jnp.asarray(data["calib"], jnp.float32)
+                field = self.evaluate_field(feats[0], feats[1], calib, res)
+                if pending is not None:
+                    results.append(pending.result())
+                pending = ex.submit(host_stage, field, feats, data,
+                                    save_path, t0, self.last_grid_diag)
+            if pending is not None:
+                results.append(pending.result())
+        return results
 
     def _save_montage(self, data: dict, feats, save_path: str) -> None:
         """Input/normal-map side-by-side PNG (reconstruction.py:48-54)."""
@@ -390,6 +532,7 @@ class CoarseReconstructor(Reconstructor):
 
         self._img_color = jax.jit(_img_color)
         self._vol_cache = {}
+        self.last_grid_diag = None
 
     def encode(self, img_local, img_global):
         g_feats = self._filter_global(self.params, img_global)

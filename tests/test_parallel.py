@@ -44,9 +44,10 @@ def test_sharded_grid_eval_matches_dense():
 
     dense = np.asarray(eval_grid_dense(sphere_occ, res, calib_inv,
                                        center, 0.55))
-    two = np.asarray(
-        eval_grid_two_phase(sharded, res, calib_inv, center, 0.55,
-                            factor=4, budget_cells=128, cells_per_chunk=32))
+    two, _diag = eval_grid_two_phase(sharded, res, calib_inv, center, 0.55,
+                                     factor=4, budget_cells=128,
+                                     cells_per_chunk=32)
+    two = np.asarray(two)
     near = np.abs(dense - 0.5) < 0.2
     assert near.sum() > 50
     np.testing.assert_allclose(two[near], dense[near], atol=1e-6)

@@ -37,9 +37,12 @@ def test_two_phase_matches_dense_near_surface():
 
     dense = np.asarray(
         eval_grid_dense(sphere_occ, res, calib_inv, center, 0.5))
-    two = np.asarray(
-        eval_grid_two_phase(sphere_occ, res, calib_inv, center, 0.5,
-                            factor=8, budget_cells=256, cells_per_chunk=64))
+    two, diag = eval_grid_two_phase(sphere_occ, res, calib_inv, center, 0.5,
+                                    factor=8, budget_cells=256,
+                                    cells_per_chunk=64)
+    two = np.asarray(two)
+    assert int(diag["budget_cells"]) == 256
+    assert int(diag["n_active"]) <= 256  # small sphere fits the budget
     # wherever the dense field is anywhere near the threshold, the two-phase
     # evaluator must have refined and match exactly
     near = np.abs(dense - 0.5) < 0.2
@@ -64,9 +67,10 @@ def test_end_to_end_sphere_mesh(tmp_path):
     # world radius = radius / 0.5 (calib scales world->NDC by 0.5)
     w_radius = radius / 0.5
 
-    vol = np.asarray(
-        eval_grid_two_phase(sphere_occ, res, calib_inv, center, w_radius,
-                            factor=8, budget_cells=512, cells_per_chunk=128))
+    vol, _ = eval_grid_two_phase(sphere_occ, res, calib_inv, center, w_radius,
+                                 factor=8, budget_cells=512,
+                                 cells_per_chunk=128)
+    vol = np.asarray(vol)
     verts_idx, faces = marching_tetrahedra(vol, 0.5)
     assert len(verts_idx) > 500
 
@@ -154,7 +158,7 @@ def test_sparse_two_phase_matches_dense():
     calib_inv = jnp.eye(4)
     dense = np.asarray(
         eval_grid_dense(sphere_occ, res, calib_inv, center, 0.5))
-    corner, top_idx, refined = eval_grid_two_phase_sparse(
+    corner, top_idx, refined, _diag = eval_grid_two_phase_sparse(
         sphere_occ, res, calib_inv, center, 0.5,
         factor=8, budget_cells=256, cells_per_chunk=64)
     vol = densify_sparse_volume(corner, top_idx, refined, res, factor=8)
@@ -167,12 +171,93 @@ def test_sparse_two_phase_matches_dense():
     assert ((vol > 0.5) == (dense > 0.5)).mean() > 0.999
 
     # 8-bit path too
-    corner, top_idx, refined = eval_grid_two_phase_sparse(
+    corner, top_idx, refined, _diag = eval_grid_two_phase_sparse(
         sphere_occ, res, calib_inv, center, 0.5,
         factor=8, budget_cells=256, cells_per_chunk=64, pack_bits=8)
     vol8 = densify_sparse_volume(corner, top_idx, refined, res, factor=8,
                                  pack_bits=8)
     np.testing.assert_allclose(vol8[near], dense[near], atol=0.002)
+
+
+def test_sparse_direct_marching_matches_densified():
+    """marching_tetrahedra_sparse (no dense volume) produces the identical
+    mesh to densify + masked marching."""
+    from rgbd_pifuhd_tpu.recon.grid import (
+        eval_grid_two_phase_sparse, densify_sparse_volume, sparse_scan_cells)
+    from rgbd_pifuhd_tpu.recon.marching import (
+        marching_tetrahedra_cells, marching_tetrahedra_sparse)
+
+    res = 64
+    corner, top, ref, _ = eval_grid_two_phase_sparse(
+        sphere_occ, res, jnp.eye(4), jnp.array([0.1, -0.05, 0.0]), 0.6,
+        factor=8, budget_cells=512, cells_per_chunk=128)
+    corner, top, ref = np.asarray(corner), np.asarray(top), np.asarray(ref)
+    cells, marks = sparse_scan_cells(corner, top, res, factor=8)
+    vol = densify_sparse_volume(corner, top, ref, res, factor=8,
+                                scan_marks=marks)
+    v1, f1 = marching_tetrahedra_cells(vol, cells, factor=8)
+    v2, f2 = marching_tetrahedra_sparse(corner, top, ref, cells, res,
+                                        factor=8)
+    assert len(v2) > 500
+    assert v1.shape == v2.shape and f1.shape == f2.shape
+    np.testing.assert_allclose(v1[np.lexsort(v1.T)], v2[np.lexsort(v2.T)],
+                               atol=1e-5)
+
+    # 8-bit packing path
+    corner, top, ref, _ = eval_grid_two_phase_sparse(
+        sphere_occ, res, jnp.eye(4), jnp.array([0.1, -0.05, 0.0]), 0.6,
+        factor=8, budget_cells=512, cells_per_chunk=128, pack_bits=8)
+    corner, top, ref = np.asarray(corner), np.asarray(top), np.asarray(ref)
+    cells, marks = sparse_scan_cells(corner, top, res, factor=8, pack_bits=8)
+    vol = densify_sparse_volume(corner, top, ref, res, factor=8,
+                                scan_marks=marks, pack_bits=8)
+    v1, f1 = marching_tetrahedra_cells(vol, cells, factor=8)
+    v2, f2 = marching_tetrahedra_sparse(corner, top, ref, cells, res,
+                                        factor=8, pack_bits=8)
+    assert v1.shape == v2.shape
+    np.testing.assert_allclose(v1[np.lexsort(v1.T)], v2[np.lexsort(v2.T)],
+                               atol=1e-5)
+
+
+def test_budget_overflow_warns_and_still_meshes():
+    """Surface needs more cells than the budget: the evaluator must report
+    overflow, the Reconstructor must warn, and sign-change cells must still
+    mesh (at coarse corner-interpolation accuracy)."""
+    import types
+    import warnings
+    from rgbd_pifuhd_tpu.recon.grid import (
+        eval_grid_two_phase_sparse, densify_sparse_volume, sparse_scan_cells)
+    from rgbd_pifuhd_tpu.recon.marching import marching_tetrahedra_cells
+    from rgbd_pifuhd_tpu.recon.pipeline import Reconstructor
+
+    res = 64
+    center = jnp.zeros(3)
+    calib_inv = jnp.eye(4)
+    # radius 0.8 sphere crosses ~200+ of the 8^3-voxel cells; budget 64
+    corner, top_idx, refined, diag = eval_grid_two_phase_sparse(
+        sphere_occ, res, calib_inv, center, 0.8,
+        factor=8, budget_cells=64, cells_per_chunk=64)
+    assert int(diag["n_active"]) > int(diag["budget_cells"])
+    assert float(diag["kth_activity"]) > 0.05
+
+    # the Reconstructor surface warns on this diag
+    shim = types.SimpleNamespace(last_grid_diag=None)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        Reconstructor._check_budget(shim, diag)
+    assert any("refinement budget overflow" in str(w.message) for w in caught)
+    assert shim.last_grid_diag["overflow_cells"] > 0
+
+    # sign-change cells beyond the budget still mesh (coarse fill)
+    corner_h, top_h = np.asarray(corner), np.asarray(top_idx)
+    cells, marks = sparse_scan_cells(corner_h, top_h, res, factor=8)
+    vol = densify_sparse_volume(corner_h, top_h, np.asarray(refined), res,
+                                factor=8, scan_marks=marks)
+    verts, faces = marching_tetrahedra_cells(vol, cells, factor=8)
+    r = np.linalg.norm(verts * (2.0 / res) - 1.0, axis=1)
+    assert len(verts) > 500
+    # coarse-interpolated cells are 8x coarser: loose tolerance
+    assert abs(np.median(r) - 0.8) < 0.1
 
 
 def test_masked_marching_matches_full():
@@ -193,6 +278,49 @@ def test_masked_marching_matches_full():
     s1 = v_full[np.lexsort(v_full.T)]
     s2 = v_mask[np.lexsort(v_mask.T)]
     np.testing.assert_allclose(s1, s2, atol=1e-5)
+
+
+def test_gen_mesh_many_matches_sequential(rng, tmp_path):
+    """Two-slot pipelined reconstruction produces the same meshes as the
+    serial per-subject loop."""
+    from rgbd_pifuhd_tpu.models import MultiResPIFu
+    from rgbd_pifuhd_tpu.recon.pipeline import Reconstructor
+    from rgbd_pifuhd_tpu.utils.options import Options
+    from tests.test_models_pifu import tiny_global, tiny_local
+
+    opt = Options(resolution=32, use_octree=True)
+    model = MultiResPIFu(cfg=tiny_local(), cfg_global=tiny_global())
+    calib = jnp.eye(4, dtype=jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 1, 32, 32, 6), jnp.float32),
+        jnp.zeros((1, 64, 64, 6), jnp.float32),
+        jnp.zeros((1, 1, 8, 3), jnp.float32), calib[None, None],
+        calib[None], jnp.zeros((1, 1, 8, 1), jnp.float32))
+    recon = Reconstructor(model, params, opt)
+
+    datas = []
+    for k in range(3):
+        r = np.random.default_rng(k)
+        datas.append({
+            "img": jnp.asarray(
+                r.standard_normal((1, 32, 32, 6)).astype(np.float32)),
+            "img_512": jnp.asarray(
+                r.standard_normal((1, 64, 64, 6)).astype(np.float32)),
+            "calib": calib,
+        })
+
+    seq = [recon.gen_mesh(d, os.path.join(tmp_path, f"seq{k}.obj"),
+                          resolution=32)
+           for k, d in enumerate(datas)]
+    paths = [os.path.join(tmp_path, f"pipe{k}.obj") for k in range(3)]
+    piped = recon.gen_mesh_many(datas, paths, use_color=0, resolution=32)
+
+    assert len(piped) == len(seq)
+    for s, p, path in zip(seq, piped, paths):
+        assert os.path.exists(path)
+        np.testing.assert_allclose(s["verts"], p["verts"], atol=1e-5)
+        np.testing.assert_array_equal(s["faces"], p["faces"])
 
 
 def test_coarse_only_reconstructor(rng, tmp_path):
