@@ -89,79 +89,234 @@ def rotation_y(deg: float) -> np.ndarray:
 
 
 # ------------------------------------------------------------ rasterizer
+def _vertex_normals(verts: np.ndarray, faces: np.ndarray,
+                    ndc: np.ndarray) -> np.ndarray:
+    """Area-weighted smooth vertex normals in view (NDC) space."""
+    v0, v1, v2 = (ndc[faces[:, 0]], ndc[faces[:, 1]], ndc[faces[:, 2]])
+    fn = np.cross(v1 - v0, v2 - v0)
+    fn /= np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-12)
+    vn = np.zeros_like(verts, dtype=np.float64)
+    for k in range(3):
+        np.add.at(vn, faces[:, k], fn)
+    vn /= np.maximum(np.linalg.norm(vn, axis=1, keepdims=True), 1e-12)
+    return vn
+
+
 def rasterize_ortho(verts: np.ndarray, faces: np.ndarray, size: int,
-                    calib: np.ndarray, albedo=(0.8, 0.65, 0.55)):
-    """Orthographic z-buffer rasterizer (NumPy).
+                    calib: np.ndarray, albedo=(0.8, 0.65, 0.55),
+                    vert_shade: np.ndarray | None = None):
+    """Orthographic z-buffer rasterizer.
+
+    Prefers the native C++ kernel (native/raster.cc: parallel two-pass,
+    atomic depth test; 100k faces at 1024^2 in tens of ms) and falls back
+    to the identical-algorithm vectorized NumPy implementation below.
 
     ``calib`` maps world -> NDC ([-1, 1], y up); pixels follow the
     grid_sample convention (align_corners): u=-1 -> col 0, v=-1 -> row 0.
 
+    Args:
+        vert_shade: optional ``[V]`` or ``[V, 3]`` per-vertex shading
+            multiplier (e.g. PRT diffuse), barycentrically interpolated.
+
     Returns dict with rgb [H,W,3] float[0,1], mask [H,W] bool,
     zbuf [H,W] float (NDC z, +inf where empty), normal [H,W,3] view-space.
     """
+    from ..native import load_raster
+    import ctypes
+
+    lib = load_raster()
+    if lib is None:
+        return _rasterize_ortho_numpy(verts, faces, size, calib, albedo,
+                                      vert_shade)
+    verts = np.asarray(verts, np.float64)
+    faces_c = np.ascontiguousarray(faces, dtype=np.int32)
+    ndc = verts @ calib[:3, :3].T + calib[:3, 3]
+    px = np.ascontiguousarray((ndc[:, 0] + 1.0) * 0.5 * (size - 1))
+    py = np.ascontiguousarray((ndc[:, 1] + 1.0) * 0.5 * (size - 1))
+    pz = np.ascontiguousarray(ndc[:, 2])
+    vn = np.ascontiguousarray(_vertex_normals(verts, faces_c, ndc))
+    albedo_c = np.ascontiguousarray(albedo, np.float64)
+    light = np.array([0.3, 0.6, -0.8])
+    light /= np.linalg.norm(light)
+    light = np.ascontiguousarray(light)
+
+    shade_ch = 0
+    vs_ptr = ctypes.POINTER(ctypes.c_double)()
+    if vert_shade is not None:
+        vs = np.ascontiguousarray(np.asarray(vert_shade, np.float64))
+        shade_ch = 1 if vs.ndim == 1 else vs.shape[1]
+        vs_ptr = vs.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+    zbuf = np.empty((size, size), np.float32)
+    nbuf = np.empty((size, size, 3), np.float32)
+    rgb = np.empty((size, size, 3), np.float32)
+    mask = np.empty((size, size), np.uint8)
+    dp = ctypes.POINTER(ctypes.c_double)
+    rc = lib.raster_ortho(
+        px.ctypes.data_as(dp), py.ctypes.data_as(dp), pz.ctypes.data_as(dp),
+        ctypes.c_int64(len(verts)), vn.ctypes.data_as(dp), vs_ptr,
+        ctypes.c_int(shade_ch),
+        faces_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(len(faces_c)), ctypes.c_int64(size),
+        albedo_c.ctypes.data_as(dp), light.ctypes.data_as(dp),
+        zbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        nbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        0,
+    )
+    if rc != 0:
+        return _rasterize_ortho_numpy(verts, faces, size, calib, albedo,
+                                      vert_shade)
+    return {"rgb": rgb.astype(np.float64), "mask": mask.astype(bool),
+            "zbuf": zbuf.astype(np.float64), "normal": nbuf.astype(np.float64)}
+
+
+def _rasterize_ortho_numpy(verts: np.ndarray, faces: np.ndarray, size: int,
+                           calib: np.ndarray, albedo=(0.8, 0.65, 0.55),
+                           vert_shade: np.ndarray | None = None):
+    """Vectorized NumPy fallback of :func:`rasterize_ortho`.
+
+    ``calib`` maps world -> NDC ([-1, 1], y up); pixels follow the
+    grid_sample convention (align_corners): u=-1 -> col 0, v=-1 -> row 0.
+
+    Two passes, no per-face Python loop (the reference renders through an
+    OpenGL FBO, traindata/render_data.py:147-288; this is the CPU-native
+    equivalent sized for its real workloads — a 100k-face subject at
+    1024^2 rasterizes in well under a second):
+
+    1. visibility — faces are bucketed by bbox pixel count; per bucket the
+       candidate pixels of ALL faces are enumerated with one broadcast,
+       barycentric-tested, and scattered into the z-buffer as packed
+       ``(quantized z << 32) | face_id`` int64 via ``np.minimum.at`` —
+       an atomic-min depth test, exactly GL's depth-buffer semantics.
+    2. attributes — for each covered pixel, the winning face's barycentric
+       coordinates are recomputed once; normals (and optional per-vertex
+       shading) interpolate vectorized over covered pixels only.
+
+    Args:
+        vert_shade: optional ``[V]`` or ``[V, 3]`` per-vertex shading
+            multiplier (e.g. PRT diffuse), barycentrically interpolated.
+
+    Returns dict with rgb [H,W,3] float[0,1], mask [H,W] bool,
+    zbuf [H,W] float (NDC z, +inf where empty), normal [H,W,3] view-space.
+    """
+    verts = np.asarray(verts, np.float64)
+    faces = np.asarray(faces)
     ndc = verts @ calib[:3, :3].T + calib[:3, 3]
     px = (ndc[:, 0] + 1.0) * 0.5 * (size - 1)
     py = (ndc[:, 1] + 1.0) * 0.5 * (size - 1)
     pz = ndc[:, 2]
-
-    # face normals in view space (z toward viewer = -z front by convention)
-    v0, v1, v2 = (ndc[faces[:, 0]], ndc[faces[:, 1]], ndc[faces[:, 2]])
-    fn = np.cross(v1 - v0, v2 - v0)
-    fn /= np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-12)
-
-    # smooth vertex normals
-    vn = np.zeros_like(verts)
-    for k in range(3):
-        np.add.at(vn, faces[:, k], fn)
-    vn /= np.maximum(np.linalg.norm(vn, axis=1, keepdims=True), 1e-12)
+    vn = _vertex_normals(verts, faces, ndc)
 
     zbuf = np.full((size, size), np.inf)
     nbuf = np.zeros((size, size, 3))
     rgb = np.ones((size, size, 3))
     mask = np.zeros((size, size), dtype=bool)
-    albedo = np.asarray(albedo)
-
+    albedo = np.asarray(albedo, np.float64)
     light = np.array([0.3, 0.6, -0.8])
     light /= np.linalg.norm(light)
 
-    for t in range(len(faces)):
-        i0, i1, i2 = faces[t]
-        xs = np.array([px[i0], px[i1], px[i2]])
-        ys = np.array([py[i0], py[i1], py[i2]])
-        x0, x1 = int(np.floor(xs.min())), int(np.ceil(xs.max()))
-        y0, y1 = int(np.floor(ys.min())), int(np.ceil(ys.max()))
-        x0, y0 = max(x0, 0), max(y0, 0)
-        x1, y1 = min(x1, size - 1), min(y1, size - 1)
-        if x1 < x0 or y1 < y0:
+    # per-face screen coords and edge-function setup
+    fx = px[faces]                                      # [F, 3]
+    fy = py[faces]
+    fz = pz[faces]
+    d = ((fy[:, 1] - fy[:, 2]) * (fx[:, 0] - fx[:, 2])
+         + (fx[:, 2] - fx[:, 1]) * (fy[:, 0] - fy[:, 2]))
+    x0 = np.clip(np.floor(fx.min(1)).astype(np.int64), 0, size - 1)
+    x1 = np.clip(np.ceil(fx.max(1)).astype(np.int64), 0, size - 1)
+    y0 = np.clip(np.floor(fy.min(1)).astype(np.int64), 0, size - 1)
+    y1 = np.clip(np.ceil(fy.max(1)).astype(np.int64), 0, size - 1)
+    w = x1 - x0 + 1
+    h = y1 - y0 + 1
+    keep = (np.abs(d) > 1e-12) & (np.ceil(fx.max(1)) >= 0) \
+        & (np.floor(fx.min(1)) <= size - 1) \
+        & (np.ceil(fy.max(1)) >= 0) & (np.floor(fy.min(1)) <= size - 1)
+
+    # pack z into the high 32 bits for an atomic-min depth+id test
+    zmin = float(pz.min())
+    zspan = max(float(pz.max()) - zmin, 1e-12)
+
+    def zq(z):
+        q = (z - zmin) / zspan * float(2 ** 31 - 4)
+        return np.clip(q, 0, 2 ** 31 - 2).astype(np.int64)
+
+    packed = np.full(size * size, np.iinfo(np.int64).max, np.int64)
+    area = (w * h).astype(np.int64)
+    face_ids = np.arange(len(faces), dtype=np.int64)
+
+    # bucket faces by candidate-pixel count to keep broadcasts tight
+    bounds = [4, 16, 64, 256, 1024, 4096]
+    while bounds[-1] < size * size:
+        bounds.append(bounds[-1] * 4)
+    lo = 0
+    for cap in bounds:
+        sel = np.nonzero(keep & (area > lo) & (area <= cap))[0]
+        lo = cap
+        if sel.size == 0:
             continue
-        gx, gy = np.meshgrid(np.arange(x0, x1 + 1), np.arange(y0, y1 + 1))
-        d = ((ys[1] - ys[2]) * (xs[0] - xs[2])
-             + (xs[2] - xs[1]) * (ys[0] - ys[2]))
-        if abs(d) < 1e-12:
-            continue
-        w0 = ((ys[1] - ys[2]) * (gx - xs[2]) + (xs[2] - xs[1]) * (gy - ys[2])) / d
-        w1 = ((ys[2] - ys[0]) * (gx - xs[2]) + (xs[0] - xs[2]) * (gy - ys[2])) / d
+        offs = np.arange(cap, dtype=np.int64)
+        ws = w[sel][:, None]
+        gx = x0[sel][:, None] + offs[None, :] % ws     # [Fb, cap]
+        gy = y0[sel][:, None] + offs[None, :] // ws
+        valid = gy <= y1[sel][:, None]
+        gxf = gx.astype(np.float64)
+        gyf = gy.astype(np.float64)
+        X = fx[sel]
+        Y = fy[sel]
+        dd = d[sel][:, None]
+        w0 = ((Y[:, 1:2] - Y[:, 2:3]) * (gxf - X[:, 2:3])
+              + (X[:, 2:3] - X[:, 1:2]) * (gyf - Y[:, 2:3])) / dd
+        w1 = ((Y[:, 2:3] - Y[:, 0:1]) * (gxf - X[:, 2:3])
+              + (X[:, 0:1] - X[:, 2:3]) * (gyf - Y[:, 2:3])) / dd
         w2 = 1.0 - w0 - w1
-        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+        inside = valid & (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
         if not inside.any():
             continue
-        z = w0 * pz[i0] + w1 * pz[i1] + w2 * pz[i2]
-        yy, xx = gy[inside], gx[inside]
-        zi = z[inside]
-        closer = zi < zbuf[yy, xx]
-        yy, xx, zi = yy[closer], xx[closer], zi[closer]
-        if len(yy) == 0:
-            continue
-        wi = np.stack([w0[inside][closer], w1[inside][closer],
-                       w2[inside][closer]], axis=1)
-        n = (wi[:, 0:1] * vn[i0] + wi[:, 1:2] * vn[i1] + wi[:, 2:3] * vn[i2])
-        n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
-        zbuf[yy, xx] = zi
-        nbuf[yy, xx] = n
-        shade = np.clip(np.abs(n @ light), 0.15, 1.0)[:, None]
-        rgb[yy, xx] = albedo * shade
-        mask[yy, xx] = True
+        Z = fz[sel]
+        z = w0 * Z[:, 0:1] + w1 * Z[:, 1:2] + w2 * Z[:, 2:3]
+        pix = (gy * size + gx)[inside]
+        val = (zq(z[inside]) << 32) | np.broadcast_to(
+            face_ids[sel][:, None], inside.shape)[inside]
+        np.minimum.at(packed, pix, val)
 
+    covered = np.nonzero(packed != np.iinfo(np.int64).max)[0]
+    if covered.size == 0:
+        return {"rgb": rgb, "mask": mask, "zbuf": zbuf, "normal": nbuf}
+
+    # pass 2: attribute interpolation for winning (pixel, face) pairs
+    fid = (packed[covered] & 0xFFFFFFFF).astype(np.int64)
+    cy = (covered // size).astype(np.float64)
+    cx = (covered % size).astype(np.float64)
+    X = fx[fid]
+    Y = fy[fid]
+    dd = d[fid]
+    w0 = ((Y[:, 1] - Y[:, 2]) * (cx - X[:, 2])
+          + (X[:, 2] - X[:, 1]) * (cy - Y[:, 2])) / dd
+    w1 = ((Y[:, 2] - Y[:, 0]) * (cx - X[:, 2])
+          + (X[:, 0] - X[:, 2]) * (cy - Y[:, 2])) / dd
+    w2 = 1.0 - w0 - w1
+    tri = faces[fid]                                    # [P, 3]
+    z = (w0 * pz[tri[:, 0]] + w1 * pz[tri[:, 1]] + w2 * pz[tri[:, 2]])
+    n = (w0[:, None] * vn[tri[:, 0]] + w1[:, None] * vn[tri[:, 1]]
+         + w2[:, None] * vn[tri[:, 2]])
+    n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+    shade = np.clip(np.abs(n @ light), 0.15, 1.0)[:, None]
+    col = albedo * shade
+    if vert_shade is not None:
+        vs = np.asarray(vert_shade, np.float64)
+        if vs.ndim == 1:
+            vs = vs[:, None]
+        s = (w0[:, None] * vs[tri[:, 0]] + w1[:, None] * vs[tri[:, 1]]
+             + w2[:, None] * vs[tri[:, 2]])
+        col = np.clip(col * s, 0.0, 1.0)
+
+    yy = covered // size
+    xx = covered % size
+    zbuf[yy, xx] = z
+    nbuf[yy, xx] = n
+    rgb[yy, xx] = col
+    mask[yy, xx] = True
     return {"rgb": rgb, "mask": mask, "zbuf": zbuf, "normal": nbuf}
 
 

@@ -102,6 +102,69 @@ def test_rasterizer_sphere_mask_and_depth():
     assert np.isfinite(out["zbuf"][m]).all()
 
 
+def test_native_rasterizer_matches_numpy():
+    """C++ kernel (native/raster.cc) vs the vectorized NumPy fallback."""
+    from rgbd_pifuhd_tpu.data.synthetic import _rasterize_ortho_numpy
+    from rgbd_pifuhd_tpu.native import load_raster
+
+    v, f = make_icosphere(3, 1.0)
+    v = normalize_mesh_height(v, 1.8)
+    calib = np.eye(4)
+    b = _rasterize_ortho_numpy(v, f, 96, calib)
+    a = rasterize_ortho(v, f, 96, calib)
+    if load_raster() is None:
+        return  # no compiler: both paths are the same implementation
+    np.testing.assert_array_equal(a["mask"], b["mask"])
+    m = a["mask"]
+    np.testing.assert_allclose(a["zbuf"][m], b["zbuf"][m], atol=1e-5)
+    np.testing.assert_allclose(a["normal"][m], b["normal"][m], atol=1e-5)
+    np.testing.assert_allclose(a["rgb"][m], b["rgb"][m], atol=1e-5)
+
+    # per-vertex shading interpolation path
+    shade = np.linspace(0.2, 1.0, len(v))
+    a = rasterize_ortho(v, f, 96, calib, vert_shade=shade)
+    b = _rasterize_ortho_numpy(v, f, 96, calib, vert_shade=shade)
+    np.testing.assert_allclose(a["rgb"][m], b["rgb"][m], atol=1e-5)
+
+
+def test_color_jitter_gated_and_applied(tmp_path):
+    from rgbd_pifuhd_tpu.data.datasets import TrainDataset
+    from rgbd_pifuhd_tpu.utils.options import Options
+    import dataclasses
+
+    root = os.path.join(tmp_path, "td")
+    generate_synthetic_dataset(root, subjects=("sphere",), size=64,
+                               load_size=128)
+    base = Options(dataroot=root, load_size=128, load_size_big=128,
+                   load_size_local=64, num_sample_inout=16, sigma=5.0)
+
+    off = TrainDataset(base, load_mesh=False, seed=0)
+    a = off[0]["img"]
+    b = off[0]["img"]
+    np.testing.assert_array_equal(a, b)  # default: no jitter, deterministic
+
+    on = TrainDataset(dataclasses.replace(base, use_aug=True, aug_blur=1.0),
+                      load_mesh=False, seed=0)
+    c = on[0]["img"]
+    assert np.abs(c[..., :3] - a[..., :3]).max() > 1e-3  # rgb jittered
+    np.testing.assert_array_equal(c[..., 3:], a[..., 3:])  # depth untouched
+
+
+def test_encode_objs_cli(tmp_path):
+    from rgbd_pifuhd_tpu.cli.encode_objs import explore
+
+    p = os.path.join(tmp_path, "a.obj")
+    text = "# mağza\nv 0 0 0\n"           # ğ: differs across encodings
+    with open(p, "wb") as fh:
+        fh.write(text.encode("ISO-8859-9"))
+    q = os.path.join(tmp_path, "b.obj")
+    with open(q, "w", encoding="utf-8") as fh:
+        fh.write(text)
+    assert explore(tmp_path) == 1               # only the ISO file changes
+    assert open(p, encoding="utf-8").read() == text
+    assert open(q, encoding="utf-8").read() == text
+
+
 def test_synthetic_tree_and_datasets(tmp_path, rng):
     from rgbd_pifuhd_tpu.data.datasets import TrainDataset, EvalDataset
     from rgbd_pifuhd_tpu.utils.options import Options
