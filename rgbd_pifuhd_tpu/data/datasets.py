@@ -125,6 +125,45 @@ class TrainDataset:
             self._style_cache = out
         return self._style_cache
 
+    def _color_jitter(self, rgb: np.ndarray) -> np.ndarray:
+        """Brightness / contrast / saturation / hue / blur augmentation.
+
+        The reference DEFINES aug_* flags but never reads them
+        (options.py:168-174); this wires the intended torchvision
+        ColorJitter-style behavior, applied to the RGB render only (never
+        depth or normal maps), gated on opt.use_aug + train phase.
+        """
+        o = self.opt
+        if not (self.is_train and getattr(o, "use_aug", False)):
+            return rgb
+        import cv2
+
+        r = self.rng
+        x = rgb.astype(np.float32) / 255.0
+        if o.aug_bri > 0:
+            x = x * (1.0 + r.uniform(-o.aug_bri, o.aug_bri))
+        if o.aug_con > 0:
+            c = 1.0 + r.uniform(-o.aug_con, o.aug_con)
+            m = x.mean()
+            x = (x - m) * c + m
+        if o.aug_sat > 0:
+            s = 1.0 + r.uniform(-o.aug_sat, o.aug_sat)
+            gray = x @ np.array([0.299, 0.587, 0.114], np.float32)
+            x = gray[..., None] + (x - gray[..., None]) * s
+        x = np.clip(x, 0.0, 1.0)
+        if o.aug_hue > 0:
+            hsv = cv2.cvtColor((x * 255).astype(np.uint8),
+                               cv2.COLOR_RGB2HSV).astype(np.int16)
+            hsv[..., 0] = (hsv[..., 0]
+                           + int(r.uniform(-o.aug_hue, o.aug_hue) * 180)) % 180
+            x = cv2.cvtColor(hsv.astype(np.uint8),
+                             cv2.COLOR_HSV2RGB).astype(np.float32) / 255.0
+        if o.aug_blur > 0:
+            sigma = float(r.uniform(0.0, o.aug_blur))
+            if sigma > 1e-3:
+                x = cv2.GaussianBlur(x, (0, 0), sigma)
+        return (np.clip(x, 0.0, 1.0) * 255).astype(rgb.dtype)
+
     def __getitem__(self, index: int) -> dict[str, Any]:
         import cv2
 
@@ -137,7 +176,7 @@ class TrainDataset:
             return os.path.join(self.root, d, subject, name)
 
         param = np.load(sub("PARAM", "0_0_00.npy"), allow_pickle=True).item()
-        render = cv2.imread(render_path)[:, :, ::-1]
+        render = self._color_jitter(cv2.imread(render_path)[:, :, ::-1])
         depth = cv2.imread(sub("DEPTH", "0_0_00.png"))
         imF = cv2.imread(sub("NORM", "0_0_00.png"))
         imB = cv2.imread(sub("NORM", "180_0_00.png"))

@@ -74,6 +74,50 @@ class VGG16Features(nn.Module):
             }
         return {"params": params}
 
+    @staticmethod
+    def load_npz_weights(path: str):
+        """Import weights from an ``.npz`` with ``conv{i}_kernel`` [kh,kw,
+        in,out] / ``conv{i}_bias`` arrays (torch-free interchange format)."""
+        import numpy as np
+
+        z = np.load(path)
+        params = {}
+        for i in range(10):
+            params[f"conv{i}"] = {
+                "kernel": jnp.asarray(z[f"conv{i}_kernel"]),
+                "bias": jnp.asarray(z[f"conv{i}_bias"]),
+            }
+        return {"params": params}
+
+    @staticmethod
+    def load_weights(path: str | None = None, rng_key: int = 0):
+        """Best-available VGG16 parameters.
+
+        Order: explicit ``path`` (.npz or torch .pth) -> the
+        ``RGBD_PIFUHD_VGG16`` env var -> well-known cache locations ->
+        seeded random init (documented fallback; see scripts/
+        vgg_gap_study.py for its measured cost).
+        """
+        import os
+
+        candidates = [path, os.environ.get("RGBD_PIFUHD_VGG16")]
+        cache = os.path.expanduser("~/.cache/torch/hub/checkpoints")
+        if os.path.isdir(cache):
+            candidates += [
+                os.path.join(cache, f) for f in sorted(os.listdir(cache))
+                if "vgg16" in f.lower()
+            ]
+        for c in candidates:
+            if not c or not os.path.exists(c):
+                continue
+            try:
+                if c.endswith(".npz"):
+                    return VGG16Features.load_npz_weights(c)
+                return VGG16Features.load_torch_weights(c)
+            except Exception as e:  # corrupt/foreign file: keep trying
+                print(f"[vgg] could not load {c}: {e}")
+        return VGG16Features.init_params(rng_key)
+
 
 def make_perceptual_loss(vgg_params, style_weight: float = 1e5):
     """(target, pred, style_image) -> scalar; parity with VGGLoss.forward.

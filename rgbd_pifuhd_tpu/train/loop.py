@@ -62,6 +62,19 @@ def collate_coarse(items: list[dict]) -> dict:
     }
 
 
+def make_collate_normals(target_key: str, style_key: str) -> Callable:
+    """Batch for netF/netB pretraining (input image, GT map, style image)."""
+
+    def collate(items: list[dict]) -> dict:
+        return {
+            "images": jnp.stack([i["img"][0] for i in items]),
+            "target": jnp.stack([i[target_key] for i in items]),
+            "style": jnp.stack([i[style_key] for i in items]),
+        }
+
+    return collate
+
+
 def _batches(dataset, batch_size: int, collate: Callable, seed: int,
              shuffle: bool = True, num_threads: int = 2):
     """Shuffled, background-prefetched batches (DataLoader equivalent)."""
@@ -227,7 +240,10 @@ def pretrain_normals(opt: Options, coarse_params=None,
 
     perceptual = None
     if use_vgg:
-        vgg_params = VGG16Features.init_params(opt.seed)
+        # pretrained weights when any local file/env-var provides them;
+        # seeded random features otherwise (cost measured in
+        # scripts/vgg_gap_study.py)
+        vgg_params = VGG16Features.load_weights(rng_key=opt.seed)
         perceptual = make_perceptual_loss(vgg_params)
 
     out_params = {"params": dict(coarse_params["params"])} if coarse_params \
@@ -245,16 +261,14 @@ def pretrain_normals(opt: Options, coarse_params=None,
         step = jax.jit(make_normal_train_step(
             lambda p, x: gen.apply(p, x), tx, perceptual))
 
+        collate = make_collate_normals(target_key, style_key)
+        montage_batch = collate([dataset[0]])  # fixed montage subject
         logger = TrainLogger(f"{opt.name}_{net_name}")
         global_step = 0
         for epoch in range(opt.num_epoch):
-            for i in range(len(dataset)):
-                it = dataset[i]
-                batch = {
-                    "images": jnp.asarray(it["img"][0])[None],
-                    "target": jnp.asarray(it[target_key])[None],
-                    "style": jnp.asarray(it[style_key])[None],
-                }
+            # prefetched, batched loader (same as train_fine/pretrain_coarse)
+            for batch in _batches(dataset, opt.batch_size, collate,
+                                  opt.seed + epoch):
                 with logger.timer.phase("net"):
                     params, opt_state, m = step(params, opt_state, batch)
                 logger.record(float(m["loss"]))
@@ -263,7 +277,8 @@ def pretrain_normals(opt: Options, coarse_params=None,
                     break
             logger.save_epoch_errors(epoch)
             if epoch % opt.freq_save == 0:
-                _save_normal_montage(opt, gen, params, batch, net_name, epoch)
+                _save_normal_montage(opt, gen, params, montage_batch,
+                                     net_name, epoch)
             if max_steps is not None and global_step >= max_steps:
                 break
         results[net_name] = params
@@ -325,15 +340,38 @@ def train_alternating(opt: Options, cycles: int = 10,
 
 
 # ------------------------------------------------------------------ eval
-def evaluate_checkpoints(opt: Options, max_items: int | None = None) -> dict:
-    """eval.py parity: forward-only loss over saved epoch checkpoints."""
+def evaluate_checkpoints(opt: Options, max_items: int | None = None,
+                         mesh=None) -> dict:
+    """eval.py parity: forward-only loss over saved epoch checkpoints.
+
+    Batches are background-prefetched (the same ``_batches`` loader the
+    trainers use) and, given a device mesh, sharded on the subject axis
+    over 'data' — the eval driver scales like the train step.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     dataset = EvalDataset(opt)
     model = build_multires(opt)
     results = {}
-    fwd = jax.jit(lambda p, b: model.apply(
-        p, b["images_local"], b["images_global"], b["points"],
-        b["calib_local"], b["calib_global"], b["labels"], train=False)[0])
 
+    def fwd_fn(p, b):
+        err, _ = model.apply(
+            p, b["images_local"], b["images_global"], b["points"],
+            b["calib_local"], b["calib_global"], b["labels"], train=False)
+        return err["occ_fine"]
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        fwd = jax.jit(fwd_fn, in_shardings=(repl, data),
+                      out_shardings=repl)
+        batch_size = max(opt.batch_size, mesh.devices.size)
+        batch_size -= batch_size % mesh.devices.size
+    else:
+        fwd = jax.jit(fwd_fn)
+        batch_size = opt.batch_size
+
+    n = min(len(dataset), max_items or len(dataset))
     epoch = 0
     while True:
         path = ckpt.epoch_path(opt.checkpoints_path, opt.name, epoch)
@@ -341,10 +379,13 @@ def evaluate_checkpoints(opt: Options, max_items: int | None = None) -> dict:
             break
         params = ckpt.load_checkpoint(path)["params"]
         errs = []
-        n = min(len(dataset), max_items or len(dataset))
-        for i in range(n):
-            batch = collate_fine([dataset[i]])
-            errs.append(float(fwd(params, batch)["occ_fine"]))
+        count = 0
+        for batch in _batches(dataset, batch_size, collate_fine,
+                              seed=0, shuffle=False):
+            if count >= n:
+                break
+            errs.append(float(fwd(params, batch)))
+            count += batch_size
         results[epoch] = float(np.mean(errs))
         np.save(os.path.join(opt.checkpoints_path,
                              f"{opt.name}_eval_epoch_{epoch}.npy"),

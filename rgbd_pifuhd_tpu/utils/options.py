@@ -162,7 +162,11 @@ class Options:
     mesh_shape: tuple = (-1,)  # -1 = all devices on the 'points'/'data' axis
     dtype: str = "bfloat16"  # activation dtype for conv filters
 
-    # Aug
+    # Aug.  The reference defines these flags but never reads them
+    # (options.py:168-174 — dead in every driver); here they ARE wired into
+    # TrainDataset color jitter, gated behind use_aug (default off so the
+    # out-of-the-box behavior matches the reference's effective behavior).
+    use_aug: bool = False
     aug_bri: float = 0.2
     aug_con: float = 0.2
     aug_sat: float = 0.05
@@ -291,6 +295,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true",
                    help="rematerialize hourglass stacks (training memory)")
     # Aug
+    p.add_argument("--use_aug", action="store_true",
+                   help="enable color-jitter augmentation (aug_* flags)")
     p.add_argument("--aug_bri", type=float, default=0.2)
     p.add_argument("--aug_con", type=float, default=0.2)
     p.add_argument("--aug_sat", type=float, default=0.05)
@@ -348,6 +354,7 @@ def parse_options(argv: Sequence[str] | None = None) -> Options:
         load_netG_checkpoint_path=args.load_netG_checkpoint_path,
         load_netMR_checkpoint_path=args.load_netMR_checkpoint_path,
         mesh_shape=tuple(args.mesh_shape), dtype=args.dtype,
+        use_aug=args.use_aug,
         aug_bri=args.aug_bri, aug_con=args.aug_con, aug_sat=args.aug_sat,
         aug_hue=args.aug_hue, aug_blur=args.aug_blur,
     )
