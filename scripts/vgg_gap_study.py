@@ -1,0 +1,98 @@
+"""Quantify the random-feature perceptual fallback (VERDICT round-1 item 7).
+
+The reference's normal-net pretraining loss is 5*L1 + VGG16 perceptual
+(content + style) with torchvision's PRETRAINED weights
+(/root/reference/networks.py:386-449, pretrain_netG.py:159-197).  This
+environment has no network egress and ships no VGG16 checkpoint, so
+models/vgg.py falls back to a seeded random-feature perceptual loss.
+
+This study measures what the fallback costs: train the normal generator
+(netF role) on a synthetic dataset under
+  (a) L1 only
+  (b) 5*L1 + random-feature perceptual (the shipped fallback)
+and report the final normal-map L1 against ground truth.  If (b) ~ (a),
+the fallback is at least harmless; pretrained weights (load via
+VGG16Features.load_torch_weights when a .pth exists) can only improve on
+whichever is better.
+
+Run: python scripts/vgg_gap_study.py [--steps 300]
+"""
+
+import argparse
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run(steps: int = 300, size: int = 64) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import dataclasses
+    from rgbd_pifuhd_tpu.data.synthetic import generate_synthetic_dataset
+    from rgbd_pifuhd_tpu.data.datasets import TrainDataset
+    from rgbd_pifuhd_tpu.models.pix2pix import GlobalGenerator
+    from rgbd_pifuhd_tpu.models.vgg import (
+        VGG16Features, make_perceptual_loss)
+    from rgbd_pifuhd_tpu.train.trainers import (
+        make_normal_train_step, make_optimizer)
+    from rgbd_pifuhd_tpu.utils.options import Options
+
+    root = os.path.join(tempfile.gettempdir(), "vgg_gap_data")
+    if not os.path.isdir(os.path.join(root, "gen")):
+        generate_synthetic_dataset(root, subjects=("sphere", "capsule"),
+                                   size=size, load_size=2 * size)
+    opt = Options(dataroot=root, load_size=2 * size, load_size_big=size,
+                  load_size_local=size, num_sample_inout=8, sigma=5.0)
+    ds = TrainDataset(opt, load_mesh=False, seed=0)
+    items = [ds[i] for i in range(len(ds))]
+
+    def batch_of(i):
+        it = items[i % len(items)]
+        return {
+            "images": jnp.asarray(it["img"][0])[None],
+            "target": jnp.asarray(it["imF"])[None],
+            "style": jnp.asarray(it["Fstyle"])[None],
+        }
+
+    results = {}
+    for label, use_perc in (("l1_only", False), ("random_vgg", True)):
+        gen = GlobalGenerator(output_nc=3, ngf=16, n_downsampling=2,
+                              n_blocks=2)
+        params = gen.init(jax.random.PRNGKey(0), batch_of(0)["images"])
+        perceptual = None
+        if use_perc:
+            vgg_params = VGG16Features.init_params(0)
+            perceptual = make_perceptual_loss(vgg_params)
+        tx = make_optimizer("adam", 2e-4)
+        opt_state = tx.init(params)
+        step = jax.jit(make_normal_train_step(
+            lambda p, x: gen.apply(p, x), tx, perceptual))
+        for s in range(steps):
+            params, opt_state, m = step(params, opt_state, batch_of(s))
+        # final metric: plain normal-map L1 over all items (both losses
+        # are judged on the SAME scale-independent metric)
+        l1s = []
+        for i in range(len(items)):
+            b = batch_of(i)
+            fake = gen.apply(params, b["images"])
+            l1s.append(float(jnp.abs(fake - b["target"]).mean()))
+        results[label] = round(float(np.mean(l1s)), 4)
+        print(f"{label}: final normal-map L1 = {results[label]}")
+
+    results["relative_gap_pct"] = round(
+        100.0 * (results["random_vgg"] - results["l1_only"])
+        / max(results["l1_only"], 1e-9), 1)
+    print(results)
+    return results
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--size", type=int, default=64)
+    args = ap.parse_args()
+    run(args.steps, args.size)
