@@ -157,6 +157,11 @@ def load_meshio():
                 ctypes.POINTER(ctypes.c_float),                    # refined
                 ctypes.c_int,                                      # threads
             ]
+            lib.transform_affine.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ]
             lib.obj_write.restype = ctypes.c_int
             lib.obj_write.argtypes = [
                 ctypes.c_char_p,

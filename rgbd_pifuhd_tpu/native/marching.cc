@@ -88,14 +88,16 @@ const int kCorner[8][3] = {
     {0, 0, 1}, {1, 0, 1}, {1, 1, 1}, {0, 1, 1},
 };
 
-// Scalar-field views: both expose value(linear id) + the lattice shape so
+// Scalar-field views: each exposes value3(x, y, z) + the lattice shape so
 // process_cube is written once and instantiated per storage layout.
 
 // dense res^3 (or X*Y*Z) float volume
 struct DenseField {
   const float* vol;
   int64_t Y, Z, YZ;
-  inline float value(int64_t id) const { return vol[id]; }
+  inline float value3(int64_t x, int64_t y, int64_t z) const {
+    return vol[x * YZ + y * Z + z];
+  }
 };
 
 // sparse two-phase result (grid.py eval_grid_two_phase_sparse): quantized
@@ -114,8 +116,7 @@ struct SparseField {
   int64_t f, f3, packed_w;
   bool nibble;              // 4-bit packing (two voxels/byte)
 
-  inline float value(int64_t id) const {
-    const int64_t x = id / YZ, y = (id / res) % res, z = id % res;
+  inline float value3(int64_t x, int64_t y, int64_t z) const {
     const int64_t cx = x >> fshift, cy = y >> fshift, cz = z >> fshift;
     const int64_t cell = (cx * n + cy) * n + cz;
     const int32_t bi = block_of[cell];
@@ -127,6 +128,19 @@ struct SparseField {
       return lut[(li & 1) ? (b >> 4) : (b & 0x0F)];
     }
     return lut[refined[bi * f3 + li]];
+  }
+};
+
+// cell-local cache over any field: the cube scan reads every voxel up to
+// 8 times; staging one cell's voxels (plus a 1-voxel apron) into an
+// L1-resident tile turns those repeats into array loads.
+struct ScratchField {
+  const float* scratch;
+  int64_t ox, oy, oz;    // tile origin in lattice coords
+  int64_t dy, dz;        // tile strides
+  int64_t Y, Z, YZ;      // global lattice (for vertex ids in process_cube)
+  inline float value3(int64_t x, int64_t y, int64_t z) const {
+    return scratch[(x - ox) * dy + (y - oy) * dz + (z - oz)];
   }
 };
 
@@ -150,8 +164,16 @@ static inline void process_cube(
   float vals[8];
   bool ins[8];
   int sum = 0;
+  // corner order matches ids[]: (kCorner with x-major id arithmetic)
+  vals[0] = fld.value3(x, y, z);
+  vals[1] = fld.value3(x + 1, y, z);
+  vals[2] = fld.value3(x + 1, y + 1, z);
+  vals[3] = fld.value3(x, y + 1, z);
+  vals[4] = fld.value3(x, y, z + 1);
+  vals[5] = fld.value3(x + 1, y, z + 1);
+  vals[6] = fld.value3(x + 1, y + 1, z + 1);
+  vals[7] = fld.value3(x, y + 1, z + 1);
   for (int i = 0; i < 8; ++i) {
-    vals[i] = fld.value(ids[i]);
     ins[i] = vals[i] > thresh;
     sum += ins[i];
   }
@@ -206,6 +228,18 @@ static inline void process_cube(
 static void merge_outputs(std::vector<ThreadOut>& outs,
                           float** verts_out, int64_t* n_verts,
                           int32_t** faces_out, int64_t* n_faces) {
+  if (outs.size() == 1) {
+    // single worker: its map already deduplicated — straight copy-out
+    ThreadOut& o = outs[0];
+    *n_verts = (int64_t)o.verts.size();
+    *n_faces = (int64_t)(o.faces.size() / 3);
+    *verts_out = (float*)std::malloc(o.verts.size() * sizeof(Vec3));
+    std::memcpy(*verts_out, o.verts.data(), o.verts.size() * sizeof(Vec3));
+    *faces_out = (int32_t*)std::malloc(o.faces.size() * sizeof(int32_t));
+    std::memcpy(*faces_out, o.faces.data(),
+                o.faces.size() * sizeof(int32_t));
+    return;
+  }
   size_t total_v = 0, total_f = 0;
   for (auto& o : outs) {
     total_v += o.verts.size();
@@ -422,6 +456,8 @@ int mt_run_sparse(const uint8_t* corner_q, const int32_t* top_idx,
   auto worker = [&](int t) {
     ThreadOut& out = outs[t];
     EdgeMap map(1 << 14);
+    const int64_t side = factor + 2;
+    std::vector<float> tile(side * side * side);
     const int64_t c0 = n_cells * t / n_threads;
     const int64_t c1 = n_cells * (t + 1) / n_threads;
     for (int64_t ci = c0; ci < c1; ++ci) {
@@ -434,6 +470,17 @@ int mt_run_sparse(const uint8_t* corner_q, const int32_t* top_idx,
       const int64_t x1 = bx + factor - 1 < ncx ? bx + factor - 1 : ncx - 1;
       const int64_t y1 = by + factor - 1 < ncy ? by + factor - 1 : ncy - 1;
       const int64_t z1 = bz + factor - 1 < ncz ? bz + factor - 1 : ncz - 1;
+      // stage the cell + apron (cubes read voxels x0..x1+1 etc.)
+      const int64_t ex = x1 + 1, ey = y1 + 1, ez = z1 + 1;
+      const int64_t ddz = ez - z0 + 1, ddy = (ey - y0 + 1) * ddz;
+      for (int64_t x = x0; x <= ex; ++x)
+        for (int64_t y = y0; y <= ey; ++y) {
+          float* row = tile.data() + (x - x0) * ddy + (y - y0) * ddz;
+          for (int64_t z = z0; z <= ez; ++z)
+            row[z - z0] = fld.value3(x, y, z);
+        }
+      const ScratchField sf{tile.data(), x0, y0, z0, ddy, ddz,
+                            res, res, res * res};
       for (int64_t x = x0; x <= x1; ++x)
         for (int64_t y = y0; y <= y1; ++y)
           for (int64_t z = z0; z <= z1; ++z) {
@@ -442,7 +489,7 @@ int mt_run_sparse(const uint8_t* corner_q, const int32_t* top_idx,
             const unsigned char prev =
                 __atomic_fetch_or(&vis[cid >> 3], bit, __ATOMIC_RELAXED);
             if (prev & bit) continue;
-            process_cube(fld, thresh, case_table, x, y, z, out, map);
+            process_cube(sf, thresh, case_table, x, y, z, out, map);
           }
     }
   };

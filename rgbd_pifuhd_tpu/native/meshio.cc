@@ -108,6 +108,32 @@ static inline char* fmt_int(char* p, int64_t v) {
   return p;
 }
 
+// out[i] = M[:3,:3] @ pts[i] + M[:3,3], f32 in/out, double 3x4 matrix
+// (row-major).  NumPy's equivalent matmul on a fresh multi-MB temp costs
+// seconds under sandboxed kernels; this is one fused cache-friendly pass.
+void transform_affine(const float* pts, int64_t n, const double* m,
+                      float* out, int n_threads) {
+  if (n_threads <= 0) {
+    n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = 1;
+  }
+  const double m00 = m[0], m01 = m[1], m02 = m[2], m03 = m[3];
+  const double m10 = m[4], m11 = m[5], m12 = m[6], m13 = m[7];
+  const double m20 = m[8], m21 = m[9], m22 = m[10], m23 = m[11];
+  std::vector<std::thread> ths;
+  for (int t = 0; t < n_threads; ++t)
+    ths.emplace_back([&, t] {
+      const int64_t i0 = n * t / n_threads, i1 = n * (t + 1) / n_threads;
+      for (int64_t i = i0; i < i1; ++i) {
+        const double x = pts[i * 3], y = pts[i * 3 + 1], z = pts[i * 3 + 2];
+        out[i * 3] = (float)(m00 * x + m01 * y + m02 * z + m03);
+        out[i * 3 + 1] = (float)(m10 * x + m11 * y + m12 * z + m13);
+        out[i * 3 + 2] = (float)(m20 * x + m21 * y + m22 * z + m23);
+      }
+    });
+  for (auto& th : ths) th.join();
+}
+
 // OBJ export: v lines (with optional rgb), f lines with flipped winding
 // (reference save_obj_mesh_with_color, mesh_util.py:189-198).
 // Lines are formatted into per-thread buffers in parallel, then written

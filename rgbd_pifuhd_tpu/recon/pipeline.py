@@ -49,6 +49,22 @@ def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
     return np.pad(x, ((0, n - x.shape[0]),) + ((0, 0),) * (x.ndim - 1))
 
 
+def _quantize_colors(vals: jax.Array) -> jax.Array:
+    """[-1, 1] -> uint8 ON DEVICE: vertex colors cross the (slow) host link
+    as 3 bytes/vert instead of 12.  Max quantization error 1/510 — below
+    any display's precision; the reference writes raw f32 (%.4f) colors
+    (mesh_util.py:193), divergence documented in PARITY.md."""
+    return jnp.round((vals * 0.5 + 0.5) * 255.0).astype(jnp.uint8)
+
+
+def _dequantize_verts(vq: jax.Array, lo: jax.Array,
+                      scale: jax.Array) -> jax.Array:
+    """uint16 bbox-fixed-point -> world f32 (host->device side of the
+    coloring chunks: 6 bytes/vert instead of 12; position error is
+    bbox/65535 ~ 1e-3 voxel — far below the fd-normal delta)."""
+    return vq.astype(jnp.float32) * scale[None, :] + lo[None, :]
+
+
 def _surface_cells(top_idx: np.ndarray, vol: np.ndarray, n: int,
                    factor: int) -> np.ndarray:
     """Cell voxel-origins worth scanning for surface: the refined top-K
@@ -116,19 +132,22 @@ class Reconstructor:
         # the sharded evaluator (parallel/) may wrap the raw query
         self._query = sharded_query(_query) if sharded_query else _query
 
-        def _normals(params, l_feats, g_feats, verts, calib):
+        def _normals(params, l_feats, g_feats, vq, lo, scale, calib):
+            verts = _dequantize_verts(vq, lo, scale)
             nml = model.apply(
                 params, l_feats, g_feats, verts[None, None],
                 calib[None, None], calib[None],
                 method=MultiResPIFu.calc_normal,
             )
-            return nml[0]
+            return _quantize_colors(nml[0])
 
         self._normals = jax.jit(_normals)
 
-        def _img_color(image, verts, calib):
+        def _img_color(image, vq, lo, scale, calib):
+            verts = _dequantize_verts(vq, lo, scale)
             xyz = geom.orthogonal(verts[None], calib[None])
-            return geom.index(image[None], xyz[..., :2])[0]
+            return _quantize_colors(geom.index(image[None],
+                                               xyz[..., :2])[0][:, :3])
 
         self._img_color = jax.jit(_img_color)
         self._vol_cache: dict[int, np.ndarray] = {}  # reused host buffers
@@ -258,13 +277,29 @@ class Reconstructor:
                   res: int):
         """Index -> NDC -> world (trans_mat = calib_inv @ mat),
         det-flip winding (reference mesh_util.py:86-92)."""
+        from ..native import load_meshio
+
         mat = create_grid_transform(res)
         calib_inv = np.linalg.inv(np.asarray(calib, np.float64))
         trans_mat = calib_inv @ mat
-        verts = verts_idx @ trans_mat[:3, :3].T + trans_mat[:3, 3]
+        lib = load_meshio()
+        if lib is not None and len(verts_idx) > 0:
+            import ctypes
+
+            src = np.ascontiguousarray(verts_idx, np.float32)
+            m = np.ascontiguousarray(trans_mat[:3, :4], np.float64)
+            verts = np.empty_like(src)
+            lib.transform_affine(
+                src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                ctypes.c_int64(len(src)),
+                m.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), 0)
+        else:
+            verts = (verts_idx @ trans_mat[:3, :3].T
+                     + trans_mat[:3, 3]).astype(np.float32)
         if np.linalg.det(trans_mat[:3, :3]) < 0.0:
             faces = faces[:, ::-1]
-        return verts.astype(np.float32), faces
+        return verts, faces
 
     def reconstruct(self, data: dict, resolution: int | None = None,
                     use_octree: bool | None = None, thresh: float = 0.5):
@@ -298,23 +333,37 @@ class Reconstructor:
     _COLOR_CHUNK = 65536
 
     def _chunked(self, fn, verts: np.ndarray) -> np.ndarray:
+        """Dispatch all chunks (async), then collect — up-transfers overlap
+        device compute.  Verts go up as uint16 bbox-fixed-point (6 B/vert),
+        colors come back quantized uint8 (3 B/vert): 9 instead of 24 bytes
+        of link traffic per vertex."""
         V = len(verts)
         chunk = self._COLOR_CHUNK
+        lo = verts.min(axis=0).astype(np.float32)
+        scale = ((verts.max(axis=0) - lo) / 65535.0).astype(np.float32)
+        scale = np.maximum(scale, 1e-12)
+        vq = np.round((verts - lo) / scale).astype(np.uint16)
+        lo_d = jnp.asarray(lo)
+        scale_d = jnp.asarray(scale)
         out = np.empty((V, 3), np.float32)
+        pending = []
         for s in range(0, V, chunk):
             n = min(chunk, V - s)
-            vpad = jnp.asarray(_pad_to(verts[s:s + n], chunk))
-            out[s:s + n] = np.asarray(fn(vpad))[:n, :3]
+            vpad = jnp.asarray(_pad_to(vq[s:s + n], chunk))
+            pending.append((s, n, fn(vpad, lo_d, scale_d)))
+        for s, n, res in pending:
+            out[s:s + n] = np.asarray(res)[:n, :3]
+        out *= np.float32(1.0 / 255.0)
         return out
 
     def color_by_normals(self, verts: np.ndarray, feats, calib) -> np.ndarray:
         """fd-normal coloring (reference reconstruction.py:60-70)."""
         l_feats, g_feats = feats
         calib = jnp.asarray(calib, jnp.float32)
-        nml = self._chunked(
-            lambda v: self._normals(self.params, l_feats, g_feats, v, calib),
+        return self._chunked(
+            lambda v, lo, sc: self._normals(self.params, l_feats, g_feats,
+                                            v, lo, sc, calib),
             verts)
-        return nml * 0.5 + 0.5
 
     def color_by_image(self, verts: np.ndarray, image: jax.Array,
                        calib) -> np.ndarray:
@@ -322,26 +371,42 @@ class Reconstructor:
         (reference reconstruction.py:113-116)."""
         image = jnp.asarray(image)
         calib = jnp.asarray(calib, jnp.float32)
-        col = self._chunked(
-            lambda v: self._img_color(image, v, calib), verts)
-        return col * 0.5 + 0.5
+        return self._chunked(
+            lambda v, lo, sc: self._img_color(image, v, lo, sc, calib),
+            verts)
 
     # ----------------------------------------------------------- gen_mesh*
     def _finish_normals(self, verts, faces, feats, data, save_path) -> dict:
+        t0 = time.time()
         colors = self.color_by_normals(verts, feats, data["calib"])
+        t1 = time.time()
         save_obj_with_color(save_path, verts, faces, colors)
+        t2 = time.time()
         self._save_montage(data, feats, save_path)
-        return {"verts": verts, "faces": faces}
+        return {"verts": verts, "faces": faces,
+                "finish_phases": {"color": round(t1 - t0, 4),
+                                  "obj": round(t2 - t1, 4),
+                                  "montage": round(time.time() - t2, 4)}}
 
     def _finish_img_color(self, verts, faces, feats, data, save_path,
                           cleanup: bool) -> dict:
+        colors, xyz_proj = self._sample_img_colors(verts, data, cleanup)
+        return self._finish_img_color_host(verts, faces, colors, xyz_proj,
+                                           feats, data, save_path, cleanup)
+
+    def _sample_img_colors(self, verts, data, cleanup: bool):
+        """DEVICE part of image coloring: color gather + projected coords."""
         colors = self.color_by_image(verts, data["img"][0], data["calib"])
-        # projected coords used by the back-color inpainting
         xyz_proj = None
-        if cleanup:
+        if cleanup:  # projected coords used by the back-color inpainting
             xyz_proj = np.asarray(geom.orthogonal(
                 jnp.asarray(verts)[None],
                 jnp.asarray(data["calib"], jnp.float32)[None]))[0]
+        return colors, xyz_proj
+
+    def _finish_img_color_host(self, verts, faces, colors, xyz_proj, feats,
+                               data, save_path, cleanup: bool) -> dict:
+        """HOST part: world mapping, cleanup, inpainting, export."""
         if "calib_world" in data and data["calib_world"] is not None:
             cw_inv = np.linalg.inv(np.asarray(data["calib_world"], np.float64))
             verts = verts @ cw_inv[:3, :3].T + cw_inv[:3, 3]
@@ -358,11 +423,19 @@ class Reconstructor:
 
     def gen_mesh(self, data: dict, save_path: str, resolution=None,
                  use_octree=None) -> dict:
-        """Normals-colored mesh (reference gen_mesh, reconstruction.py:25-75)."""
+        """Normals-colored mesh (reference gen_mesh, reconstruction.py:25-75).
+
+        The result dict carries a ``phases`` timing breakdown
+        (encode+field+march / world-transform+color+obj+montage).
+        """
         t0 = time.time()
         verts, faces, feats = self.reconstruct(data, resolution, use_octree)
+        t1 = time.time()
         out = self._finish_normals(verts, faces, feats, data, save_path)
-        out.update(secs=time.time() - t0, grid_diag=self.last_grid_diag)
+        t2 = time.time()
+        out.update(secs=t2 - t0, grid_diag=self.last_grid_diag,
+                   phases={"reconstruct": round(t1 - t0, 4),
+                           "color_save": round(t2 - t1, 4)})
         return out
 
     def gen_mesh_img_color(self, data: dict, save_path: str, resolution=None,
@@ -383,33 +456,32 @@ class Reconstructor:
 
     def gen_mesh_many(self, items, save_paths, use_color: int = 0,
                       resolution: int | None = None) -> list[dict]:
-        """Two-slot subject pipeline: subject i's HOST stage (sparse-direct
-        marching, coloring, OBJ write) runs on a worker thread while subject
-        i+1's DEVICE stage (encode + grid evaluation + transfer) proceeds on
-        the main thread.  The reference loops subjects fully serially
+        """Two-slot subject pipeline: subject i's CPU/IO tail (world
+        mapping for image color, component cleanup, inpainting, OBJ write,
+        montage) runs on a worker thread while subject i+1's device stage
+        (encode + grid evaluation + coloring) proceeds on the main thread.
+        The reference loops subjects fully serially
         (reconstruction.py:307-321).
 
-        ``items`` yields data dicts (same contract as gen_mesh); octree
-        sparse path only.  Coloring dispatches small device calls from the
-        worker thread — they interleave harmlessly with the next subject's
-        evaluation.  Returns result dicts in input order.
+        ALL device work stays on the main thread: with a single chip,
+        device calls issued from the worker would queue behind the next
+        subject's large evaluation kernel (head-of-line blocking) and
+        pessimize the pipeline.  Returns result dicts in input order.
         """
         from concurrent.futures import ThreadPoolExecutor
 
         res = resolution or self.opt.resolution
 
-        def host_stage(field, feats, data, save_path, t0, diag):
-            verts_idx, faces = self.extract_mesh(field, res)
-            if len(verts_idx) == 0:
-                raise RuntimeError("marching produced an empty mesh")
-            verts, faces = self._to_world(verts_idx, faces, data["calib"],
-                                          res)
+        def host_stage(verts, faces, colors, xyz_proj, feats, data,
+                       save_path, t0, diag):
             if use_color == 0:
-                out = self._finish_normals(verts, faces, feats, data,
-                                           save_path)
+                save_obj_with_color(save_path, verts, faces, colors)
+                self._save_montage(data, feats, save_path)
+                out = {"verts": verts, "faces": faces}
             else:
-                out = self._finish_img_color(verts, faces, feats, data,
-                                             save_path, cleanup=use_color == 2)
+                out = self._finish_img_color_host(
+                    verts, faces, colors, xyz_proj, feats, data, save_path,
+                    cleanup=use_color == 2)
             out.update(secs=time.time() - t0, grid_diag=diag)
             return out
 
@@ -421,29 +493,43 @@ class Reconstructor:
                 feats = self.encode(data["img"], data["img_512"])
                 calib = jnp.asarray(data["calib"], jnp.float32)
                 field = self.evaluate_field(feats[0], feats[1], calib, res)
+                verts_idx, faces = self.extract_mesh(field, res)
+                if len(verts_idx) == 0:
+                    raise RuntimeError("marching produced an empty mesh")
+                verts, faces = self._to_world(verts_idx, faces,
+                                              data["calib"], res)
+                xyz_proj = None
+                if use_color == 0:
+                    colors = self.color_by_normals(verts, feats,
+                                                   data["calib"])
+                else:
+                    colors, xyz_proj = self._sample_img_colors(
+                        verts, data, cleanup=use_color == 2)
                 if pending is not None:
                     results.append(pending.result())
-                pending = ex.submit(host_stage, field, feats, data,
-                                    save_path, t0, self.last_grid_diag)
+                pending = ex.submit(host_stage, verts, faces, colors,
+                                    xyz_proj, feats, data, save_path, t0,
+                                    self.last_grid_diag)
             if pending is not None:
                 results.append(pending.result())
         return results
 
     def _save_montage(self, data: dict, feats, save_path: str) -> None:
-        """Input/normal-map side-by-side PNG (reconstruction.py:48-54)."""
+        """Input/normal-map side-by-side PNG (reconstruction.py:48-54).
+        Panels are quantized to uint8 ON DEVICE — a 512^2 f32 normal map is
+        3 MB over the host link, its uint8 form 0.75 MB."""
         try:
             import cv2
         except ImportError:
             return
         _, g_feats = feats
-        panels = [np.asarray(data["img_512"][0])[..., :3]]
-        if g_feats.nml_front is not None:
-            panels.append(np.asarray(g_feats.nml_front[0]))
-        if g_feats.nml_back is not None:
-            panels.append(np.asarray(g_feats.nml_back[0]))
-        img = np.concatenate(panels, axis=1)
-        img = ((img * 0.5 + 0.5)[:, :, ::-1] * 255.0).clip(0, 255)
-        cv2.imwrite(save_path[:-4] + ".png", img.astype(np.uint8))
+        panels = [np.asarray(jax.jit(_quantize_colors)(
+            jnp.asarray(data["img_512"][0])[..., :3]))]
+        for m in (g_feats.nml_front, g_feats.nml_back):
+            if m is not None:
+                panels.append(np.asarray(jax.jit(_quantize_colors)(m[0])))
+        img = np.concatenate(panels, axis=1)[:, :, ::-1]
+        cv2.imwrite(save_path[:-4] + ".png", img)
 
 
 def estimate_back_colors(colors: np.ndarray, xyz: np.ndarray,
@@ -520,15 +606,19 @@ class CoarseReconstructor(Reconstructor):
 
         self._query = sharded_query(_query) if sharded_query else _query
 
-        def _normals(params, l_feats, g_feats, verts, calib):
-            return model.apply(params, g_feats, verts[None], calib[None],
-                               method=CoarsePIFu.calc_normal)[0]
+        def _normals(params, l_feats, g_feats, vq, lo, scale, calib):
+            verts = _dequantize_verts(vq, lo, scale)
+            nml = model.apply(params, g_feats, verts[None], calib[None],
+                              method=CoarsePIFu.calc_normal)[0]
+            return _quantize_colors(nml)
 
         self._normals = jax.jit(_normals)
 
-        def _img_color(image, verts, calib):
+        def _img_color(image, vq, lo, scale, calib):
+            verts = _dequantize_verts(vq, lo, scale)
             xyz = geom.orthogonal(verts[None], calib[None])
-            return geom.index(image[None], xyz[..., :2])[0]
+            return _quantize_colors(geom.index(image[None],
+                                               xyz[..., :2])[0][:, :3])
 
         self._img_color = jax.jit(_img_color)
         self._vol_cache = {}
