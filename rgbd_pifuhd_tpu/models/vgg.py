@@ -90,14 +90,9 @@ class VGG16Features(nn.Module):
         return {"params": params}
 
     @staticmethod
-    def load_weights(path: str | None = None, rng_key: int = 0):
-        """Best-available VGG16 parameters.
-
-        Order: explicit ``path`` (.npz or torch .pth) -> the
-        ``RGBD_PIFUHD_VGG16`` env var -> well-known cache locations ->
-        seeded random init (documented fallback; see scripts/
-        vgg_gap_study.py for its measured cost).
-        """
+    def find_weights(path: str | None = None) -> str | None:
+        """Locate a local pretrained-weights file: explicit ``path`` ->
+        the ``RGBD_PIFUHD_VGG16`` env var -> the torch hub cache."""
         import os
 
         candidates = [path, os.environ.get("RGBD_PIFUHD_VGG16")]
@@ -108,13 +103,28 @@ class VGG16Features(nn.Module):
                 if "vgg16" in f.lower()
             ]
         for c in candidates:
-            if not c or not os.path.exists(c):
-                continue
+            if c and os.path.exists(c):
+                return c
+        return None
+
+    @staticmethod
+    def load_weights(path: str | None = None, rng_key: int = 0):
+        """Best-available VGG16 parameters: a located local file
+        (.npz or torch .pth), else seeded random init.
+
+        NOTE: random features make a POOR perceptual loss — the measured
+        gap (scripts/vgg_gap_study.py) is ~5x worse final normal-map L1
+        than plain L1 training, because the 1e5-weighted style term on
+        random Gram matrices injects noise.  pretrain_normals therefore
+        enables the perceptual term only when real weights are found.
+        """
+        c = VGG16Features.find_weights(path)
+        if c is not None:
             try:
                 if c.endswith(".npz"):
                     return VGG16Features.load_npz_weights(c)
                 return VGG16Features.load_torch_weights(c)
-            except Exception as e:  # corrupt/foreign file: keep trying
+            except Exception as e:  # corrupt/foreign file
                 print(f"[vgg] could not load {c}: {e}")
         return VGG16Features.init_params(rng_key)
 

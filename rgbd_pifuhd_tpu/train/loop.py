@@ -224,12 +224,16 @@ def pretrain_coarse(opt: Options, mesh=None, max_steps: int | None = None,
 # ----------------------------------------------------------- normal pretrain
 def pretrain_normals(opt: Options, coarse_params=None,
                      max_steps: int | None = None,
-                     use_vgg: bool = True) -> Any:
+                     use_vgg: bool | str = "auto") -> Any:
     """Train netF and netB (pretrain_netG.train_nml parity).
 
     Returns coarse-model params with the trained netF/netB subtrees.
-    The perceptual term uses VGG16 features (pretrained weights when
-    available via VGG16Features.load_torch_weights; random otherwise).
+    ``use_vgg``: "auto" (default) enables the VGG perceptual term only
+    when real pretrained weights are found locally — the measured cost of
+    the random-feature fallback is ~5x WORSE final normal-map L1 than
+    plain L1 training (scripts/vgg_gap_study.py: the 1e5-weighted style
+    loss on random Gram matrices injects noise).  True forces it on
+    (random features if no weights), False disables it.
     """
     dataset = TrainDataset(opt, load_mesh=False, seed=opt.seed)
     gen = GlobalGenerator(output_nc=3, ngf=opt.netG.nml_ngf,
@@ -238,11 +242,14 @@ def pretrain_normals(opt: Options, coarse_params=None,
     item = dataset[0]
     images = jnp.asarray(item["img"][0])[None]  # [1, H, W, 6]
 
+    if use_vgg == "auto":
+        use_vgg = VGG16Features.find_weights() is not None
+        if not use_vgg:
+            print("[pretrain_normals] no pretrained VGG16 found: using "
+                  "L1-only loss (measured better than random-feature "
+                  "perceptual; see scripts/vgg_gap_study.py)")
     perceptual = None
     if use_vgg:
-        # pretrained weights when any local file/env-var provides them;
-        # seeded random features otherwise (cost measured in
-        # scripts/vgg_gap_study.py)
         vgg_params = VGG16Features.load_weights(rng_key=opt.seed)
         perceptual = make_perceptual_loss(vgg_params)
 

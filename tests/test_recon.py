@@ -280,6 +280,46 @@ def test_masked_marching_matches_full():
     np.testing.assert_allclose(s1, s2, atol=1e-5)
 
 
+def test_native_affine_transform_matches_numpy(rng):
+    from rgbd_pifuhd_tpu.recon.pipeline import Reconstructor
+    from rgbd_pifuhd_tpu.recon.grid import create_grid_transform
+
+    verts_idx = rng.uniform(0, 64, (5000, 3)).astype(np.float32)
+    faces = np.zeros((1, 3), np.int32)
+    calib = np.diag([0.4, -0.5, 0.6, 1.0]).astype(np.float32)
+    calib[:3, 3] = [0.1, -0.2, 0.3]
+    v_native, f_native = Reconstructor._to_world(verts_idx, faces, calib, 64)
+    mat = create_grid_transform(64)
+    trans = np.linalg.inv(np.asarray(calib, np.float64)) @ mat
+    ref = (verts_idx @ trans[:3, :3].T + trans[:3, 3]).astype(np.float32)
+    np.testing.assert_allclose(v_native, ref, rtol=1e-6, atol=1e-5)
+    # y axis negated => det < 0 => winding flipped
+    assert np.linalg.det(trans[:3, :3]) < 0
+    np.testing.assert_array_equal(f_native, faces[:, ::-1])
+
+
+def test_vgg_npz_weight_roundtrip(tmp_path):
+    from rgbd_pifuhd_tpu.models.vgg import VGG16Features
+
+    ref = VGG16Features.init_params(3)
+    path = os.path.join(tmp_path, "vgg.npz")
+    flat = {}
+    for i in range(10):
+        flat[f"conv{i}_kernel"] = np.asarray(ref["params"][f"conv{i}"]["kernel"])
+        flat[f"conv{i}_bias"] = np.asarray(ref["params"][f"conv{i}"]["bias"])
+    np.savez(path, **flat)
+    loaded = VGG16Features.load_weights(path)
+    for i in range(10):
+        np.testing.assert_array_equal(
+            loaded["params"][f"conv{i}"]["kernel"],
+            ref["params"][f"conv{i}"]["kernel"])
+    # missing file falls back to seeded random init without raising
+    rand = VGG16Features.load_weights(os.path.join(tmp_path, "nope.pth"),
+                                      rng_key=3)
+    np.testing.assert_array_equal(rand["params"]["conv0"]["kernel"],
+                                  ref["params"]["conv0"]["kernel"])
+
+
 def test_gen_mesh_many_matches_sequential(rng, tmp_path):
     """Two-slot pipelined reconstruction produces the same meshes as the
     serial per-subject loop."""
