@@ -104,13 +104,20 @@ def main():
     secs = float(times[best])
 
     # ---- phase breakdown (separately timed; NOT the headline number)
+    # NOTE: block_until_ready does NOT synchronize on the tunneled axon
+    # backend; every phase timing ends in a scalar readback instead.
     t0 = time.time()
     l_feats, g_feats = recon.encode(data["img"], data["img_512"])
-    jax.block_until_ready(l_feats.im_feats)
+    float(l_feats.im_feats.sum())
     t_enc = time.time() - t0
     t0 = time.time()
     field = recon.evaluate_field(l_feats, g_feats, calib, resolution)
     t_field = time.time() - t0            # device eval + sparse transfer
+    # query points actually evaluated inside the two-phase jit:
+    # padded corner lattice + budget_cells * 8^3 refinement points
+    n1 = resolution // 8 + 1
+    n_eval_pts = (-(-n1 ** 3 // 1024) * 1024
+                  + opt.num_refine_cells * 512)
     t0 = time.time()
     verts_idx, faces = recon.extract_mesh(field, resolution)
     t_march = time.time() - t0            # sparse-direct marching
@@ -132,17 +139,13 @@ def main():
     recon.gen_mesh_many(datas, paths, use_color=0, resolution=resolution)
     piped = (time.time() - t0) / 3.0
 
-    # ---- raw grid-query throughput on the REAL (unblended) query path
-    plain = Reconstructor(model, params, opt)
-    n_pts = 262144
-    pts = jnp.asarray(rng.uniform(-1, 1, (n_pts, 3)).astype(f32))
-    qj = jax.jit(plain._query)
-    qj(pts, plain.params, l_feats, g_feats, calib).block_until_ready()
-    t0 = time.time()
-    for _ in range(5):
-        out = qj(pts, plain.params, l_feats, g_feats, calib)
-    out.block_until_ready()
-    pps = n_pts * 5 / (time.time() - t0)
+    # ---- grid-query throughput: points evaluated inside the two-phase
+    # jit divided by its wall time (includes the sparse transfer, so this
+    # is conservative).  Per-call standalone timing over the tunnel is
+    # dominated by dispatch/readback RTT and block_until_ready does not
+    # synchronize on this backend, so the in-pipeline number is the
+    # honest one.
+    pps = n_eval_pts / t_field
 
     print(json.dumps({
         "metric": "secs_per_mesh_512_coarse_fine",

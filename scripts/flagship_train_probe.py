@@ -65,16 +65,19 @@ def probe(local_size: int, remat: bool, dtype: str = "bfloat16",
     opt_state = tx.init(params["params"])
     step = jax.jit(make_fine_train_step(model, tx))
 
+    # NOTE: on the tunneled axon backend block_until_ready does NOT wait
+    # for execution — only a data readback synchronizes.  Every timing
+    # below forces a scalar readback (float()).
     t0 = time.time()
     params2, opt_state2, metrics = step(params, opt_state, batch)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     compile_s = time.time() - t0
 
     times = []
     for _ in range(steps):
         t0 = time.time()
         params2, opt_state2, metrics = step(params2, opt_state2, batch)
-        jax.block_until_ready(metrics["loss"])
+        float(metrics["loss"])
         times.append(time.time() - t0)
 
     stats = jax.local_devices()[0].memory_stats() or {}
