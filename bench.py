@@ -106,6 +106,8 @@ def main():
     # ---- phase breakdown (separately timed; NOT the headline number)
     # NOTE: block_until_ready does NOT synchronize on the tunneled axon
     # backend; every phase timing ends in a scalar readback instead.
+    l_feats, g_feats = recon.encode(data["img"], data["img_512"])
+    float(l_feats.im_feats.sum())        # warm the sum-readback compile
     t0 = time.time()
     l_feats, g_feats = recon.encode(data["img"], data["img_512"])
     float(l_feats.im_feats.sum())

@@ -45,10 +45,6 @@ from .marching import (
 from .mesh import save_obj_with_color, keep_largest_component
 
 
-def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
-    return np.pad(x, ((0, n - x.shape[0]),) + ((0, 0),) * (x.ndim - 1))
-
-
 def _quantize_colors(vals: jax.Array) -> jax.Array:
     """[-1, 1] -> uint8 ON DEVICE: vertex colors cross the (slow) host link
     as 3 bytes/vert instead of 12.  Max quantization error 1/510 — below
@@ -141,7 +137,11 @@ class Reconstructor:
             )
             return _quantize_colors(nml[0])
 
-        self._normals = jax.jit(_normals)
+        # all color chunks under ONE jit (lax.map) -> one dispatch + one
+        # down-transfer instead of a round trip per chunk
+        self._normals_many = jax.jit(
+            lambda p, l, g, vqs, lo, sc, cal: jax.lax.map(
+                lambda vq: _normals(p, l, g, vq, lo, sc, cal), vqs))
 
         def _img_color(image, vq, lo, scale, calib):
             verts = _dequantize_verts(vq, lo, scale)
@@ -149,7 +149,9 @@ class Reconstructor:
             return _quantize_colors(geom.index(image[None],
                                                xyz[..., :2])[0][:, :3])
 
-        self._img_color = jax.jit(_img_color)
+        self._img_color_many = jax.jit(
+            lambda im, vqs, lo, sc, cal: jax.lax.map(
+                lambda vq: _img_color(im, vq, lo, sc, cal), vqs))
         self._vol_cache: dict[int, np.ndarray] = {}  # reused host buffers
         self.last_grid_diag: dict | None = None  # refinement-budget health
 
@@ -332,27 +334,26 @@ class Reconstructor:
     # bounded peak memory (~1 GB of MLP temps per chunk).
     _COLOR_CHUNK = 65536
 
-    def _chunked(self, fn, verts: np.ndarray) -> np.ndarray:
-        """Dispatch all chunks (async), then collect — up-transfers overlap
-        device compute.  Verts go up as uint16 bbox-fixed-point (6 B/vert),
+    def _chunked(self, fn_many, verts: np.ndarray) -> np.ndarray:
+        """All chunks through ONE jitted lax.map call: one dispatch, one
+        down-transfer (per-chunk round trips cost ~20-40 ms each over a
+        slow link).  Verts go up as uint16 bbox-fixed-point (6 B/vert),
         colors come back quantized uint8 (3 B/vert): 9 instead of 24 bytes
-        of link traffic per vertex."""
+        of link traffic per vertex.  Above 4, the chunk count pads to a
+        multiple of 4 to bound recompilations across mesh sizes."""
         V = len(verts)
         chunk = self._COLOR_CHUNK
+        K = max(1, -(-V // chunk))
+        if K > 4:
+            K = -(-K // 4) * 4
         lo = verts.min(axis=0).astype(np.float32)
         scale = ((verts.max(axis=0) - lo) / 65535.0).astype(np.float32)
         scale = np.maximum(scale, 1e-12)
-        vq = np.round((verts - lo) / scale).astype(np.uint16)
-        lo_d = jnp.asarray(lo)
-        scale_d = jnp.asarray(scale)
-        out = np.empty((V, 3), np.float32)
-        pending = []
-        for s in range(0, V, chunk):
-            n = min(chunk, V - s)
-            vpad = jnp.asarray(_pad_to(vq[s:s + n], chunk))
-            pending.append((s, n, fn(vpad, lo_d, scale_d)))
-        for s, n, res in pending:
-            out[s:s + n] = np.asarray(res)[:n, :3]
+        vq = np.zeros((K * chunk, 3), np.uint16)
+        vq[:V] = np.round((verts - lo) / scale).astype(np.uint16)
+        res = fn_many(jnp.asarray(vq.reshape(K, chunk, 3)),
+                      jnp.asarray(lo), jnp.asarray(scale))
+        out = np.asarray(res).reshape(-1, 3)[:V].astype(np.float32)
         out *= np.float32(1.0 / 255.0)
         return out
 
@@ -361,8 +362,8 @@ class Reconstructor:
         l_feats, g_feats = feats
         calib = jnp.asarray(calib, jnp.float32)
         return self._chunked(
-            lambda v, lo, sc: self._normals(self.params, l_feats, g_feats,
-                                            v, lo, sc, calib),
+            lambda vqs, lo, sc: self._normals_many(
+                self.params, l_feats, g_feats, vqs, lo, sc, calib),
             verts)
 
     def color_by_image(self, verts: np.ndarray, image: jax.Array,
@@ -372,7 +373,8 @@ class Reconstructor:
         image = jnp.asarray(image)
         calib = jnp.asarray(calib, jnp.float32)
         return self._chunked(
-            lambda v, lo, sc: self._img_color(image, v, lo, sc, calib),
+            lambda vqs, lo, sc: self._img_color_many(image, vqs, lo, sc,
+                                                     calib),
             verts)
 
     # ----------------------------------------------------------- gen_mesh*
@@ -612,7 +614,9 @@ class CoarseReconstructor(Reconstructor):
                               method=CoarsePIFu.calc_normal)[0]
             return _quantize_colors(nml)
 
-        self._normals = jax.jit(_normals)
+        self._normals_many = jax.jit(
+            lambda p, l, g, vqs, lo, sc, cal: jax.lax.map(
+                lambda vq: _normals(p, l, g, vq, lo, sc, cal), vqs))
 
         def _img_color(image, vq, lo, scale, calib):
             verts = _dequantize_verts(vq, lo, scale)
@@ -620,7 +624,9 @@ class CoarseReconstructor(Reconstructor):
             return _quantize_colors(geom.index(image[None],
                                                xyz[..., :2])[0][:, :3])
 
-        self._img_color = jax.jit(_img_color)
+        self._img_color_many = jax.jit(
+            lambda im, vqs, lo, sc, cal: jax.lax.map(
+                lambda vq: _img_color(im, vq, lo, sc, cal), vqs))
         self._vol_cache = {}
         self.last_grid_diag = None
 
