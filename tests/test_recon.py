@@ -362,6 +362,20 @@ def test_gen_mesh_many_matches_sequential(rng, tmp_path):
         np.testing.assert_allclose(s["verts"], p["verts"], atol=1e-5)
         np.testing.assert_array_equal(s["faces"], p["faces"])
 
+    # image-color (1) and cleanup (2) pipelined paths match sequential too
+    for uc in (1, 2):
+        seq_c = [recon.gen_mesh_img_color(
+            d, os.path.join(tmp_path, f"sc{uc}_{k}.obj"), resolution=32,
+            cleanup=uc == 2) for k, d in enumerate(datas[:2])]
+        paths_c = [os.path.join(tmp_path, f"pc{uc}_{k}.obj")
+                   for k in range(2)]
+        piped_c = recon.gen_mesh_many(datas[:2], paths_c, use_color=uc,
+                                      resolution=32)
+        for s, p, path in zip(seq_c, piped_c, paths_c):
+            assert os.path.exists(path)
+            np.testing.assert_allclose(s["verts"], p["verts"], atol=1e-5)
+            np.testing.assert_array_equal(s["faces"], p["faces"])
+
 
 def test_coarse_only_reconstructor(rng, tmp_path):
     """Single-level (coarse) reconstruction end to end."""
