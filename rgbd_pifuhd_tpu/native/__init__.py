@@ -101,6 +101,26 @@ def load_marching():
                 ctypes.POINTER(ctypes.c_int32),   # scan cells [K', 3]
                 ctypes.c_int64,                    # n_cells
             ] + out_args
+            lib.mt_run_sparse3.restype = ctypes.c_int
+            lib.mt_run_sparse3.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),   # corner_q [(n+1)^3]
+                ctypes.POINTER(ctypes.c_int32),   # top8_idx [K1]
+                ctypes.c_int64,                    # K1
+                ctypes.POINTER(ctypes.c_uint8),   # sub_q [K1, 27]
+                ctypes.POINTER(ctypes.c_int32),   # top4_idx [K2]
+                ctypes.c_int64,                    # K2
+                ctypes.POINTER(ctypes.c_uint8),   # refined packed
+                ctypes.c_int64,                    # n
+                ctypes.c_int,                      # factor
+                ctypes.c_int64,                    # res
+                ctypes.c_int,                      # pack_bits
+                ctypes.c_float,                    # band_scale
+                ctypes.c_float,                    # thresh
+                ctypes.POINTER(ctypes.c_int8),    # case table
+                ctypes.c_int,                      # n_threads
+                ctypes.POINTER(ctypes.c_int32),   # scan cells [K', 3]
+                ctypes.c_int64,                    # n_cells
+            ] + out_args
             lib.mt_free.argtypes = [ctypes.c_void_p]
         _CACHE["marching"] = lib
         return lib

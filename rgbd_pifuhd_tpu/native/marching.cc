@@ -131,6 +131,38 @@ struct SparseField {
   }
 };
 
+// three-level sparse result (grid.py eval_grid_three_phase_sparse):
+// stride-8 fill -> stride-4 fill inside active cells -> packed 4^3 blocks.
+struct SparseField3 {
+  const uint8_t* refined;    // [K2, 64/per_byte] packed
+  const int32_t* block_of8;  // [n^3] cell -> k1 row (or -1)
+  const int32_t* block_of4;  // [K1*8] (k1*8+loc) -> refined row (or -1)
+  const float* fill8;        // [n^3]
+  const float* fill4;        // [K1*8]
+  const float* lut;          // [levels+1]
+  int64_t n;
+  int64_t Y, Z, YZ;          // global lattice (res)
+  int64_t packed_w;
+  bool nibble;
+
+  inline float value3(int64_t x, int64_t y, int64_t z) const {
+    const int64_t cx = x >> 3, cy = y >> 3, cz = z >> 3;
+    const int64_t cell = (cx * n + cy) * n + cz;
+    const int32_t k1 = block_of8[cell];
+    if (k1 < 0) return fill8[cell];
+    const int64_t loc =
+        (((x >> 2) & 1) << 2) | (((y >> 2) & 1) << 1) | ((z >> 2) & 1);
+    const int32_t bi = block_of4[(int64_t)k1 * 8 + loc];
+    if (bi < 0) return fill4[(int64_t)k1 * 8 + loc];
+    const int64_t li = (((x & 3) * 4) + (y & 3)) * 4 + (z & 3);
+    if (nibble) {
+      const uint8_t b = refined[bi * packed_w + (li >> 1)];
+      return lut[(li & 1) ? (b >> 4) : (b & 0x0F)];
+    }
+    return lut[refined[bi * 64 + li]];
+  }
+};
+
 // cell-local cache over any field: the cube scan reads every voxel up to
 // 8 times; staging one cell's voxels (plus a 1-voxel apron) into an
 // L1-resident tile turns those repeats into array loads.
@@ -270,6 +302,70 @@ static void merge_outputs(std::vector<ThreadOut>& outs,
   std::memcpy(*verts_out, verts.data(), verts.size() * sizeof(Vec3));
   *faces_out = (int32_t*)std::malloc(faces.size() * sizeof(int32_t));
   std::memcpy(*faces_out, faces.data(), faces.size() * sizeof(int32_t));
+}
+
+// Masked cube scan over cell ranges with a shared visited bitmap and
+// per-cell L1 tiles — used by every sparse-direct kernel.
+template <typename Field>
+static void run_masked_scan(const Field& fld, int64_t res, int factor,
+                            float thresh, const int8_t* case_table,
+                            int n_threads, const int32_t* cells,
+                            int64_t n_cells, float** verts_out,
+                            int64_t* n_verts, int32_t** faces_out,
+                            int64_t* n_faces) {
+  const int64_t ncx = res - 1, ncy = res - 1, ncz = res - 1;
+  const int64_t n_cubes = ncx * ncy * ncz;
+  std::vector<unsigned char> visited((n_cubes + 7) / 8, 0);
+  unsigned char* vis = visited.data();
+
+  std::vector<ThreadOut> outs(n_threads);
+  std::vector<std::thread> threads;
+
+  auto worker = [&](int t) {
+    ThreadOut& out = outs[t];
+    EdgeMap map(1 << 14);
+    const int64_t side = factor + 2;
+    std::vector<float> tile(side * side * side);
+    const int64_t c0 = n_cells * t / n_threads;
+    const int64_t c1 = n_cells * (t + 1) / n_threads;
+    for (int64_t ci = c0; ci < c1; ++ci) {
+      const int64_t bx = cells[ci * 3 + 0];
+      const int64_t by = cells[ci * 3 + 1];
+      const int64_t bz = cells[ci * 3 + 2];
+      const int64_t x0 = bx > 0 ? bx - 1 : 0;
+      const int64_t y0 = by > 0 ? by - 1 : 0;
+      const int64_t z0 = bz > 0 ? bz - 1 : 0;
+      const int64_t x1 = bx + factor - 1 < ncx ? bx + factor - 1 : ncx - 1;
+      const int64_t y1 = by + factor - 1 < ncy ? by + factor - 1 : ncy - 1;
+      const int64_t z1 = bz + factor - 1 < ncz ? bz + factor - 1 : ncz - 1;
+      // stage the cell + apron (cubes read voxels x0..x1+1 etc.)
+      const int64_t ex = x1 + 1, ey = y1 + 1, ez = z1 + 1;
+      const int64_t ddz = ez - z0 + 1, ddy = (ey - y0 + 1) * ddz;
+      for (int64_t x = x0; x <= ex; ++x)
+        for (int64_t y = y0; y <= ey; ++y) {
+          float* row = tile.data() + (x - x0) * ddy + (y - y0) * ddz;
+          for (int64_t z = z0; z <= ez; ++z)
+            row[z - z0] = fld.value3(x, y, z);
+        }
+      const ScratchField sf{tile.data(), x0, y0, z0, ddy, ddz,
+                            res, res, res * res};
+      for (int64_t x = x0; x <= x1; ++x)
+        for (int64_t y = y0; y <= y1; ++y)
+          for (int64_t z = z0; z <= z1; ++z) {
+            const int64_t cid = (x * ncy + y) * ncz + z;
+            const unsigned char bit = (unsigned char)(1u << (cid & 7));
+            const unsigned char prev =
+                __atomic_fetch_or(&vis[cid >> 3], bit, __ATOMIC_RELAXED);
+            if (prev & bit) continue;
+            process_cube(sf, thresh, case_table, x, y, z, out, map);
+          }
+    }
+  };
+
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker, t);
+  for (auto& th : threads) th.join();
+
+  merge_outputs(outs, verts_out, n_verts, faces_out, n_faces);
 }
 
 }  // namespace
@@ -444,60 +540,97 @@ int mt_run_sparse(const uint8_t* corner_q, const int32_t* top_idx,
       fshift, (int64_t)factor - 1,
       (int64_t)factor, f3, f3 / per_byte, per_byte == 2};
 
-  // --- masked cube scan (same structure as mt_run_cells) ---------------
-  const int64_t ncx = res - 1, ncy = res - 1, ncz = res - 1;
-  const int64_t n_cubes = ncx * ncy * ncz;
-  std::vector<unsigned char> visited((n_cubes + 7) / 8, 0);
-  unsigned char* vis = visited.data();
+  run_masked_scan(fld, res, factor, thresh, case_table, n_threads, cells,
+                  n_cells, verts_out, n_verts, faces_out, n_faces);
+  return 0;
+}
 
-  std::vector<ThreadOut> outs(n_threads);
-  std::vector<std::thread> threads;
+// Three-level variant: surface straight from the stride-8/4/1 sparse
+// result.  Same masked scan; the field accessor resolves each voxel
+// through fill8 -> fill4 -> packed block.
+int mt_run_sparse3(const uint8_t* corner_q, const int32_t* top8_idx,
+                   int64_t K1, const uint8_t* sub_q,
+                   const int32_t* top4_idx, int64_t K2,
+                   const uint8_t* refined,
+                   int64_t n, int factor, int64_t res,
+                   int pack_bits, float band_scale, float thresh,
+                   const int8_t* case_table, int n_threads,
+                   const int32_t* cells, int64_t n_cells,
+                   float** verts_out, int64_t* n_verts, int32_t** faces_out,
+                   int64_t* n_faces) {
+  if (factor != 8) return 2;
+  if (n_threads <= 0) {
+    n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = 1;
+  }
+  if ((int64_t)n_threads > n_cells)
+    n_threads = (int)(n_cells > 0 ? n_cells : 1);
 
-  auto worker = [&](int t) {
-    ThreadOut& out = outs[t];
-    EdgeMap map(1 << 14);
-    const int64_t side = factor + 2;
-    std::vector<float> tile(side * side * side);
-    const int64_t c0 = n_cells * t / n_threads;
-    const int64_t c1 = n_cells * (t + 1) / n_threads;
-    for (int64_t ci = c0; ci < c1; ++ci) {
-      const int64_t bx = cells[ci * 3 + 0];
-      const int64_t by = cells[ci * 3 + 1];
-      const int64_t bz = cells[ci * 3 + 2];
-      const int64_t x0 = bx > 0 ? bx - 1 : 0;
-      const int64_t y0 = by > 0 ? by - 1 : 0;
-      const int64_t z0 = bz > 0 ? bz - 1 : 0;
-      const int64_t x1 = bx + factor - 1 < ncx ? bx + factor - 1 : ncx - 1;
-      const int64_t y1 = by + factor - 1 < ncy ? by + factor - 1 : ncy - 1;
-      const int64_t z1 = bz + factor - 1 < ncz ? bz + factor - 1 : ncz - 1;
-      // stage the cell + apron (cubes read voxels x0..x1+1 etc.)
-      const int64_t ex = x1 + 1, ey = y1 + 1, ez = z1 + 1;
-      const int64_t ddz = ez - z0 + 1, ddy = (ey - y0 + 1) * ddz;
-      for (int64_t x = x0; x <= ex; ++x)
-        for (int64_t y = y0; y <= ey; ++y) {
-          float* row = tile.data() + (x - x0) * ddy + (y - y0) * ddz;
-          for (int64_t z = z0; z <= ez; ++z)
-            row[z - z0] = fld.value3(x, y, z);
-        }
-      const ScratchField sf{tile.data(), x0, y0, z0, ddy, ddz,
-                            res, res, res * res};
-      for (int64_t x = x0; x <= x1; ++x)
-        for (int64_t y = y0; y <= y1; ++y)
-          for (int64_t z = z0; z <= z1; ++z) {
-            const int64_t cid = (x * ncy + y) * ncz + z;
-            const unsigned char bit = (unsigned char)(1u << (cid & 7));
-            const unsigned char prev =
-                __atomic_fetch_or(&vis[cid >> 3], bit, __ATOMIC_RELAXED);
-            if (prev & bit) continue;
-            process_cube(sf, thresh, case_table, x, y, z, out, map);
+  const int levels = (1 << pack_bits) - 1;
+  std::vector<float> lut(levels + 1);
+  for (int q = 0; q <= levels; ++q)
+    lut[q] = ((float)q / (float)levels - 0.5f) / band_scale + 0.5f;
+
+  const int64_t n3 = n * n * n;
+  const int64_t n1 = n + 1;
+  std::vector<int32_t> block_of8(n3, -1);
+  for (int64_t k = 0; k < K1; ++k) block_of8[top8_idx[k]] = (int32_t)k;
+  std::vector<int32_t> block_of4(K1 * 8, -1);
+  for (int64_t k = 0; k < K2; ++k) block_of4[top4_idx[k]] = (int32_t)k;
+
+  // fill8 from the stride-8 corner lattice
+  std::vector<float> fill8(n3);
+  {
+    std::vector<std::thread> ths;
+    const int nt = n_threads;
+    auto fw = [&](int t) {
+      const int64_t c0 = n3 * t / nt, c1 = n3 * (t + 1) / nt;
+      for (int64_t cidx = c0; cidx < c1; ++cidx) {
+        const int64_t cx = cidx / (n * n), cy = (cidx / n) % n,
+                      cz = cidx % n;
+        float mn = 2.f, mx = -1.f;
+        for (int dx = 0; dx < 2; ++dx)
+          for (int dy = 0; dy < 2; ++dy)
+            for (int dz = 0; dz < 2; ++dz) {
+              const float v = lut[corner_q[((cx + dx) * n1 + (cy + dy)) * n1
+                                           + (cz + dz)]];
+              mn = v < mn ? v : mn;
+              mx = v > mx ? v : mx;
+            }
+        fill8[cidx] = 0.5f * (mn + mx);
+      }
+    };
+    for (int t = 0; t < nt; ++t) ths.emplace_back(fw, t);
+    for (auto& th : ths) th.join();
+  }
+
+  // fill4 from each active cell's 3x3x3 stride-4 lattice (sub_q [K1, 27])
+  std::vector<float> fill4(K1 * 8);
+  for (int64_t k = 0; k < K1; ++k) {
+    const uint8_t* s = sub_q + k * 27;
+    for (int loc = 0; loc < 8; ++loc) {
+      const int sx = (loc >> 2) & 1, sy = (loc >> 1) & 1, sz = loc & 1;
+      float mn = 2.f, mx = -1.f;
+      for (int dx = 0; dx < 2; ++dx)
+        for (int dy = 0; dy < 2; ++dy)
+          for (int dz = 0; dz < 2; ++dz) {
+            const float v =
+                lut[s[((sx + dx) * 3 + (sy + dy)) * 3 + (sz + dz)]];
+            mn = v < mn ? v : mn;
+            mx = v > mx ? v : mx;
           }
+      fill4[k * 8 + loc] = 0.5f * (mn + mx);
     }
-  };
+  }
 
-  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker, t);
-  for (auto& th : threads) th.join();
+  const int per_byte = 8 / pack_bits;
+  const SparseField3 fld{
+      refined, block_of8.data(), block_of4.data(), fill8.data(),
+      fill4.data(), lut.data(), n, res, res, res * res,
+      (int64_t)(64 / per_byte), per_byte == 2};
 
-  merge_outputs(outs, verts_out, n_verts, faces_out, n_faces);
+  run_masked_scan(fld, res, factor, thresh, case_table, n_threads, cells,
+                  n_cells, verts_out, n_verts, faces_out, n_faces);
   return 0;
 }
 

@@ -324,6 +324,228 @@ def eval_grid_two_phase_sparse(
     return corner_q, top_idx.astype(jnp.int32), refined, diag
 
 
+def eval_grid_three_phase_sparse(
+    query_fn: QueryFn,
+    resolution: int,
+    calib_inv: jax.Array,
+    *query_args,
+    factor: int = 8,
+    budget_cells: int = 12288,
+    budget_subcells: int = 49152,
+    cells_per_chunk: int = 4096,
+    pack_bits: int = 4,
+    band_scale: float = 4.0,
+):
+    """Three-level coarse-to-fine evaluation (stride 8 -> 4 -> 1).
+
+    Closer to the reference's stride-halving octree (mesh_util.py:124-187)
+    than the two-phase scheme AND ~2x cheaper: instead of refining every
+    active 8-cell densely (512 points each), active cells are first probed
+    on their interior stride-4 lattice (27 points) and only the sub-cells
+    (4^3) whose corners still disagree are evaluated densely (64 points).
+    For a surface crossing ~10k of 64^3 cells this evaluates ~3M instead
+    of ~6.6M points.
+
+    Returns ``(corner_q, top8_idx, sub_q, top4_idx, refined, diag)``:
+
+        corner_q  [(n+1)^3] uint8     — quantized stride-8 corner lattice
+        top8_idx  [K1] int32          — active 8-cell linear ids
+        sub_q     [K1, 27] uint8      — quantized stride-4 lattice per cell
+        top4_idx  [K2] int32          — refined sub-cell ids, encoded
+                                        ``k1_index * 8 + local_subcell``
+                                        (local = (sx<<2)|(sy<<1)|sz)
+        refined   [K2, 64*pack_bits/8] uint8 — packed 4^3 blocks
+        diag      dict                — both budget-overflow diagnostics
+
+    Cell fills follow the same rule at every level: skipped regions read
+    0.5*(min+max of their corners) — the reference's interpolation fill.
+
+    Orchestrated as THREE separate jits (one per phase) with every
+    intermediate staying on device: a single fused kernel at flagship
+    scale trips a libtpu register-allocator RET_CHECK
+    (live_range_finder.cc) on v5e; the per-phase kernels match patterns
+    the two-phase evaluator already compiles.
+    """
+    if factor != 8:
+        raise ValueError("three-phase evaluation assumes factor=8 (8->4->1)")
+    res = resolution
+    n = res // factor
+    K1 = min(budget_cells, n ** 3)
+    K2 = min(budget_subcells, K1 * 8)
+
+    corner_q, top8_idx, cell_base, d1 = _three_phase_p1(
+        query_fn, res, factor, K1, pack_bits, band_scale, calib_inv,
+        *query_args)
+    sub_q, top4_idx, sub_base, d2 = _three_phase_p2(
+        query_fn, res, factor, K2, pack_bits, band_scale, calib_inv,
+        cell_base, *query_args)
+    cells_per_chunk = min(cells_per_chunk, K2)
+    refined = _three_phase_p3(
+        query_fn, res, K2, cells_per_chunk, pack_bits, band_scale,
+        calib_inv, sub_base, *query_args)
+    diag = {**d1, **d2}
+    return (corner_q, top8_idx.astype(jnp.int32),
+            sub_q, top4_idx.astype(jnp.int32), refined, diag)
+
+
+def _quantize_band(occ, band_scale: float = 4.0, pack_bits: int = 4):
+    levels = (1 << pack_bits) - 1
+    band = jnp.clip((occ - 0.5) * band_scale + 0.5, 0.0, 1.0)
+    return jnp.round(band * levels).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("query_fn", "res", "factor", "K1",
+                                   "pack_bits", "band_scale"))
+def _three_phase_p1(query_fn, res, factor, K1, pack_bits, band_scale,
+                    calib_inv, *query_args):
+    """Stride-8 corner lattice -> active-cell ranking."""
+    n = res // factor
+    n1 = n + 1
+    ii = jnp.arange(n1)
+    cx, cy, cz = jnp.meshgrid(ii, ii, ii, indexing="ij")
+    corner_idx = jnp.stack(
+        [cx.reshape(-1), cy.reshape(-1), cz.reshape(-1)], axis=-1
+    ) * factor
+    corner_idx = jnp.minimum(corner_idx, res - 1)
+    n_corners = n1 ** 3
+    n_pad = -(-n_corners // 1024) * 1024
+    corner_idx_p = jnp.concatenate(
+        [corner_idx,
+         jnp.broadcast_to(corner_idx[-1:], (n_pad - n_corners, 3))], axis=0)
+    world = _idx_to_world(corner_idx_p, res, calib_inv)
+    corner_vals = query_fn(world, *query_args)[:n_corners]
+
+    c = corner_vals.reshape(n1, n1, n1)
+    stack8 = jnp.stack(
+        [
+            c[:-1, :-1, :-1], c[:-1, :-1, 1:], c[:-1, 1:, :-1], c[:-1, 1:, 1:],
+            c[1:, :-1, :-1], c[1:, :-1, 1:], c[1:, 1:, :-1], c[1:, 1:, 1:],
+        ],
+        axis=0,
+    )
+    activity = (stack8.max(axis=0) - stack8.min(axis=0)).reshape(-1)
+    top_vals, top8_idx = lax.top_k(activity, K1)
+    diag = {
+        "kth_activity": top_vals[-1],
+        "n_active": jnp.sum(activity > _SKIP_THRESHOLD),
+        "budget_cells": jnp.asarray(K1, jnp.int32),
+    }
+    cbx = top8_idx // (n * n)
+    cby = (top8_idx // n) % n
+    cbz = top8_idx % n
+    cell_base = jnp.stack([cbx, cby, cbz], axis=-1) * factor  # [K1, 3]
+    return (_quantize_band(corner_vals, band_scale, pack_bits), top8_idx,
+            cell_base, diag)
+
+
+@partial(jax.jit, static_argnames=("query_fn", "res", "factor", "K2",
+                                   "pack_bits", "band_scale"))
+def _three_phase_p2(query_fn, res, factor, K2, pack_bits, band_scale,
+                    calib_inv, cell_base, *query_args):
+    """Stride-4 lattice inside active cells -> sub-cell ranking.
+
+    The 27-point probes are evaluated in fixed chunks via fori_loop —
+    the same codegen shape as the refinement loops (a single flat query
+    over K1*27 points trips the libtpu regalloc RET_CHECK on v5e).
+    """
+    K1 = cell_base.shape[0]
+    half = factor // 2
+    oi = jnp.arange(3) * half                                 # 0, 4, 8
+    ox, oy, oz = jnp.meshgrid(oi, oi, oi, indexing="ij")
+    sub_offsets = jnp.stack(
+        [ox.reshape(-1), oy.reshape(-1), oz.reshape(-1)], axis=-1)  # [27, 3]
+
+    chunk = min(8192, K1)
+    n_chunks = -(-K1 // chunk)
+    K1_pad = n_chunks * chunk
+    cell_base_p = jnp.concatenate(
+        [cell_base,
+         jnp.broadcast_to(cell_base[-1:], (K1_pad - K1, 3))], axis=0)
+
+    def body(i, vals):
+        s = i * chunk
+        bases = lax.dynamic_slice(cell_base_p, (s, 0), (chunk, 3))
+        pts_idx = (bases[:, None, :] + sub_offsets[None]).reshape(-1, 3)
+        pts_idx = jnp.minimum(pts_idx, res - 1)               # clamp edge
+        occ = query_fn(
+            _idx_to_world(pts_idx, res, calib_inv), *query_args
+        ).reshape(chunk, 27)
+        return lax.dynamic_update_slice(vals, occ, (s, 0))
+
+    sub_vals = lax.fori_loop(
+        0, n_chunks, body, jnp.zeros((K1_pad, 27), jnp.float32))[:K1]
+
+    s3 = sub_vals.reshape(K1, 3, 3, 3)
+    sub_stack = jnp.stack(
+        [
+            s3[:, :-1, :-1, :-1], s3[:, :-1, :-1, 1:],
+            s3[:, :-1, 1:, :-1], s3[:, :-1, 1:, 1:],
+            s3[:, 1:, :-1, :-1], s3[:, 1:, :-1, 1:],
+            s3[:, 1:, 1:, :-1], s3[:, 1:, 1:, 1:],
+        ],
+        axis=0,
+    )
+    sub_act = (sub_stack.max(axis=0) - sub_stack.min(axis=0))
+    sub_act = sub_act.reshape(K1, 8).reshape(-1)               # sx<<2|sy<<1|sz
+    sub_top_vals, top4_idx = lax.top_k(sub_act, K2)
+    diag = {
+        "kth_subactivity": sub_top_vals[-1],
+        "n_active_subcells": jnp.sum(sub_act > _SKIP_THRESHOLD),
+        "budget_subcells": jnp.asarray(K2, jnp.int32),
+    }
+    k1_of = top4_idx // 8
+    loc = top4_idx % 8
+    sub_base = (
+        cell_base[k1_of]
+        + jnp.stack([(loc >> 2) & 1, (loc >> 1) & 1, loc & 1], axis=-1)
+        * half
+    )                                                          # [K2, 3]
+    return (_quantize_band(sub_vals, band_scale, pack_bits), top4_idx,
+            sub_base, diag)
+
+
+@partial(jax.jit, static_argnames=("query_fn", "res", "K2",
+                                   "cells_per_chunk", "pack_bits",
+                                   "band_scale"))
+def _three_phase_p3(query_fn, res, K2, cells_per_chunk, pack_bits,
+                    band_scale, calib_inv, sub_base, *query_args):
+    """Dense 4^3 evaluation of the top sub-cells, packed."""
+    half = 4
+    f3 = half ** 3
+    oi2 = jnp.arange(half)
+    qx, qy, qz = jnp.meshgrid(oi2, oi2, oi2, indexing="ij")
+    fine_offsets = jnp.stack(
+        [qx.reshape(-1), qy.reshape(-1), qz.reshape(-1)], axis=-1)  # [64, 3]
+
+    n_chunks = -(-K2 // cells_per_chunk)
+    K2_pad = n_chunks * cells_per_chunk
+    sub_base_p = jnp.concatenate(
+        [sub_base,
+         jnp.broadcast_to(sub_base[-1:], (K2_pad - K2, 3))], axis=0)
+
+    per_byte = 8 // pack_bits
+    packed_width = f3 // per_byte
+
+    def body(i, refined):
+        s = i * cells_per_chunk
+        bases = lax.dynamic_slice(sub_base_p, (s, 0), (cells_per_chunk, 3))
+        pts = (bases[:, None, :] + fine_offsets[None]).reshape(-1, 3)
+        occ = query_fn(
+            _idx_to_world(pts, res, calib_inv), *query_args
+        ).reshape(cells_per_chunk, f3)
+        q = _quantize_band(occ, band_scale, pack_bits)
+        if per_byte == 2:
+            q = q.reshape(cells_per_chunk, packed_width, 2)
+            q = q[:, :, 0] | (q[:, :, 1] << 4)
+        return lax.dynamic_update_slice(refined, q, (s, 0))
+
+    refined = lax.fori_loop(
+        0, n_chunks, body,
+        jnp.zeros((K2_pad, packed_width), jnp.uint8),
+    )
+    return refined[:K2]
+
+
 def sparse_scan_cells(corner_vals, top_idx, resolution: int,
                       factor: int = 8, pack_bits: int = 4,
                       band_scale: float = 4.0):
@@ -367,6 +589,75 @@ def sparse_scan_cells(corner_vals, top_idx, resolution: int,
     marks.reshape(-1)[np.asarray(top_idx)] = True
     origins = np.argwhere(marks).astype(np.int32) * factor
     return origins, marks
+
+
+def densify_sparse3_volume(corner_q, top8_idx, sub_q, top4_idx, refined,
+                           resolution: int, factor: int = 8,
+                           pack_bits: int = 4,
+                           band_scale: float = 4.0) -> np.ndarray:
+    """Host NumPy reassembly of the THREE-phase sparse result (fallback /
+    test oracle; the native sparse-direct marching never materializes
+    this).  Fill rule at every level: 0.5*(min+max of corners)."""
+    res = resolution
+    n = res // factor
+    n1 = n + 1
+    half = factor // 2
+    levels = (1 << pack_bits) - 1
+
+    def unq(q):
+        return ((np.asarray(q).astype(np.float32) / levels - 0.5)
+                / band_scale + 0.5)
+
+    c = unq(corner_q).reshape(n1, n1, n1)
+    stack8 = np.stack(
+        [
+            c[:-1, :-1, :-1], c[:-1, :-1, 1:], c[:-1, 1:, :-1], c[:-1, 1:, 1:],
+            c[1:, :-1, :-1], c[1:, :-1, 1:], c[1:, 1:, :-1], c[1:, 1:, 1:],
+        ],
+        axis=0,
+    )
+    fill8 = (0.5 * (stack8.min(axis=0) + stack8.max(axis=0))).astype(
+        np.float32)
+    vol = np.broadcast_to(
+        fill8[:, None, :, None, :, None],
+        (n, factor, n, factor, n, factor),
+    ).reshape(res, res, res).copy()
+
+    top8_idx = np.asarray(top8_idx)
+    sub = unq(sub_q).reshape(-1, 3, 3, 3)
+    sub_stack = np.stack(
+        [
+            sub[:, :-1, :-1, :-1], sub[:, :-1, :-1, 1:],
+            sub[:, :-1, 1:, :-1], sub[:, :-1, 1:, 1:],
+            sub[:, 1:, :-1, :-1], sub[:, 1:, :-1, 1:],
+            sub[:, 1:, 1:, :-1], sub[:, 1:, 1:, 1:],
+        ],
+        axis=0,
+    )
+    fill4 = (0.5 * (sub_stack.min(axis=0)
+                    + sub_stack.max(axis=0))).reshape(-1, 8)  # [K1, 8]
+    cbx = top8_idx // (n * n)
+    cby = (top8_idx // n) % n
+    cbz = top8_idx % n
+    v8 = vol.reshape(n, 2, half, n, 2, half, n, 2, half)
+    for s in range(8):
+        sx, sy, sz = (s >> 2) & 1, (s >> 1) & 1, s & 1
+        v8[cbx, sx, :, cby, sy, :, cbz, sz, :] = \
+            fill4[:, s][:, None, None, None]
+
+    top4_idx = np.asarray(top4_idx)
+    refined = np.asarray(refined)
+    if pack_bits == 4:
+        lo = refined & 0x0F
+        hi = refined >> 4
+        refined = np.stack([lo, hi], axis=-1).reshape(refined.shape[0], -1)
+    blocks = unq(refined).reshape(-1, half, half, half)
+    k1_of = top4_idx // 8
+    loc = top4_idx % 8
+    gx, gy, gz = cbx[k1_of], cby[k1_of], cbz[k1_of]
+    sx, sy, sz = (loc >> 2) & 1, (loc >> 1) & 1, loc & 1
+    v8[gx, sx, :, gy, sy, :, gz, sz, :] = blocks
+    return vol
 
 
 def densify_sparse_volume(corner_vals, top_idx, refined, resolution: int,

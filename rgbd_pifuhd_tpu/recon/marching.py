@@ -239,6 +239,72 @@ def marching_tetrahedra_sparse(
     return verts, faces
 
 
+def marching_tetrahedra_sparse3(
+    corner_q: np.ndarray, top8_idx: np.ndarray, sub_q: np.ndarray,
+    top4_idx: np.ndarray, refined: np.ndarray, cell_origins: np.ndarray,
+    resolution: int, factor: int = 8, pack_bits: int = 4,
+    band_scale: float = 4.0, threshold: float = 0.5,
+):
+    """Surface extraction directly from the THREE-phase sparse result
+    (grid.py eval_grid_three_phase_sparse): stride-8 fill -> stride-4 fill
+    inside active cells -> packed 4^3 blocks.  Identical mesh to
+    ``densify_sparse3_volume`` + ``marching_tetrahedra_cells``; falls back
+    to exactly that pair without the native library."""
+    from ..native import load_marching
+    import ctypes
+
+    lib = load_marching()
+    if lib is None or getattr(lib, "mt_run_sparse3", None) is None:
+        from .grid import densify_sparse3_volume
+        vol = densify_sparse3_volume(corner_q, top8_idx, sub_q, top4_idx,
+                                     refined, resolution, factor=factor,
+                                     pack_bits=pack_bits,
+                                     band_scale=band_scale)
+        return marching_tetrahedra_cells(vol, cell_origins, factor=factor,
+                                         threshold=threshold)
+    corner_q = np.ascontiguousarray(corner_q, dtype=np.uint8).reshape(-1)
+    top8_idx = np.ascontiguousarray(top8_idx, dtype=np.int32).reshape(-1)
+    sub_q = np.ascontiguousarray(sub_q, dtype=np.uint8)
+    top4_idx = np.ascontiguousarray(top4_idx, dtype=np.int32).reshape(-1)
+    refined = np.ascontiguousarray(refined, dtype=np.uint8)
+    cells = np.ascontiguousarray(cell_origins, dtype=np.int32)
+    table = np.ascontiguousarray(_case_table_packed())
+    n = resolution // factor
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    vp = ctypes.POINTER(ctypes.c_float)()
+    fp = i32p()
+    nv = ctypes.c_int64()
+    nf = ctypes.c_int64()
+    rc = lib.mt_run_sparse3(
+        corner_q.ctypes.data_as(u8p),
+        top8_idx.ctypes.data_as(i32p), ctypes.c_int64(len(top8_idx)),
+        sub_q.ctypes.data_as(u8p),
+        top4_idx.ctypes.data_as(i32p), ctypes.c_int64(len(top4_idx)),
+        refined.ctypes.data_as(u8p),
+        ctypes.c_int64(n), ctypes.c_int(factor), ctypes.c_int64(resolution),
+        ctypes.c_int(pack_bits), ctypes.c_float(band_scale),
+        ctypes.c_float(threshold),
+        table.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        0,
+        cells.ctypes.data_as(i32p), ctypes.c_int64(len(cells)),
+        ctypes.byref(vp), ctypes.byref(nv), ctypes.byref(fp), ctypes.byref(nf),
+    )
+    if rc != 0:
+        from .grid import densify_sparse3_volume
+        vol = densify_sparse3_volume(corner_q, top8_idx, sub_q, top4_idx,
+                                     refined, resolution, factor=factor,
+                                     pack_bits=pack_bits,
+                                     band_scale=band_scale)
+        return marching_tetrahedra_cells(vol, cell_origins, factor=factor,
+                                         threshold=threshold)
+    verts = np.ctypeslib.as_array(vp, shape=(nv.value, 3)).copy()
+    faces = np.ctypeslib.as_array(fp, shape=(nf.value, 3)).copy()
+    lib.mt_free(vp)
+    lib.mt_free(fp)
+    return verts, faces
+
+
 def _marching_native(volume: np.ndarray, threshold: float):
     """C++ kernel path; returns None if the native lib is unavailable."""
     from ..native import load_marching

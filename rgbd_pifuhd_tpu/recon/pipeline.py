@@ -33,6 +33,7 @@ from .grid import (
     eval_grid_dense,
     eval_grid_two_phase,
     eval_grid_two_phase_sparse,
+    eval_grid_three_phase_sparse,
     densify_sparse_volume,
     sparse_scan_cells,
     create_grid_transform,
@@ -41,6 +42,7 @@ from .marching import (
     marching_tetrahedra,
     marching_tetrahedra_cells,
     marching_tetrahedra_sparse,
+    marching_tetrahedra_sparse3,
 )
 from .mesh import save_obj_with_color, keep_largest_component
 
@@ -229,6 +231,11 @@ class Reconstructor:
              "n_active": int(diag["n_active"]),
              "budget_cells": int(diag["budget_cells"])}
         d["overflow_cells"] = max(0, d["n_active"] - d["budget_cells"])
+        if "budget_subcells" in diag:
+            d["n_active_subcells"] = int(diag["n_active_subcells"])
+            d["budget_subcells"] = int(diag["budget_subcells"])
+            d["overflow_subcells"] = max(
+                0, d["n_active_subcells"] - d["budget_subcells"])
         self.last_grid_diag = d
         if d["overflow_cells"] > 0:
             import warnings
@@ -238,22 +245,52 @@ class Reconstructor:
                 f"({d['overflow_cells']} cells fall back to coarse "
                 f"interpolation; kth_activity={d['kth_activity']:.3f}). "
                 f"Raise --num_refine_cells.", RuntimeWarning, stacklevel=3)
+        if d.get("overflow_subcells", 0) > 0:
+            import warnings
+            warnings.warn(
+                f"sub-cell refinement budget overflow: "
+                f"{d['n_active_subcells']} active sub-cells > budget "
+                f"{d['budget_subcells']} ({d['overflow_subcells']} fall "
+                f"back to stride-4 interpolation). Raise "
+                f"--num_refine_subcells.", RuntimeWarning, stacklevel=3)
 
     # ---------------------------------------------------------------- mesh
     def evaluate_field(self, l_feats, g_feats, calib: jax.Array,
                        resolution: int, budget_cells: int | None = None):
-        """Device phase of the sparse path: two-phase evaluation, sparse
-        transfer, surface-cell scan.  No dense volume is materialized.
+        """Device phase of the sparse path: coarse-to-fine evaluation,
+        sparse transfer, surface-cell scan.  No dense volume is
+        materialized.
 
-        Returns ``(corner, top_idx, refined, cells)`` host arrays — the
-        direct input of ``marching_tetrahedra_sparse``.  Split from
-        ``extract_mesh`` so a multi-subject driver can overlap subject
-        i+1's device evaluation with subject i's host marching.
+        With ``opt.octree_levels == 3`` (default) the evaluation refines
+        stride 8 -> 4 -> 1 (closest to the reference's halving octree,
+        mesh_util.py:124-187, and ~2x fewer query points); 2 selects the
+        single-split two-phase scheme.  Returns the host arrays that feed
+        ``extract_mesh`` directly.  Split from ``extract_mesh`` so a
+        multi-subject driver can overlap subject i+1's device evaluation
+        with subject i's host marching.
         """
         calib_inv = jnp.linalg.inv(calib)
         n = resolution // 8
         budget = budget_cells or min(
             getattr(self.opt, "num_refine_cells", 12288), n ** 3)
+        levels = getattr(self.opt, "octree_levels", 3)
+        if levels == 3 and resolution % 8 == 0:
+            sub_budget = min(
+                getattr(self.opt, "num_refine_subcells", 49152), budget * 8)
+            corner, top8, sub_q, top4, refined, diag = (
+                eval_grid_three_phase_sparse(
+                    self._query, resolution, calib_inv,
+                    self.params, l_feats, g_feats, calib,
+                    factor=8, budget_cells=budget,
+                    budget_subcells=sub_budget,
+                ))
+            self._check_budget(diag)
+            corner, top8, sub_q, top4, refined = (
+                np.asarray(corner), np.asarray(top8), np.asarray(sub_q),
+                np.asarray(top4), np.asarray(refined))
+            cells, _marks = sparse_scan_cells(corner, top8, resolution,
+                                              factor=8)
+            return corner, top8, sub_q, top4, refined, cells
         corner, top_idx, refined, diag = eval_grid_two_phase_sparse(
             self._query, resolution, calib_inv,
             self.params, l_feats, g_feats, calib,
@@ -268,7 +305,13 @@ class Reconstructor:
 
     @staticmethod
     def extract_mesh(field, resolution: int, thresh: float = 0.5):
-        """Host phase: sparse-direct marching tetrahedra (no densify)."""
+        """Host phase: sparse-direct marching tetrahedra (no densify).
+        Dispatches on the field arity (4 = two-phase, 6 = three-phase)."""
+        if len(field) == 6:
+            corner, top8, sub_q, top4, refined, cells = field
+            return marching_tetrahedra_sparse3(
+                corner, top8, sub_q, top4, refined, cells, resolution,
+                factor=8, threshold=thresh)
         corner, top_idx, refined, cells = field
         return marching_tetrahedra_sparse(
             corner, top_idx, refined, cells, resolution, factor=8,

@@ -137,7 +137,9 @@ class Options:
     use_compose: bool = False
     use_octree: bool = True
     num_samples_query: int = 262144  # points per device batch in grid eval
-    num_refine_cells: int = 12288   # two-phase refinement budget (64^3 cells)
+    num_refine_cells: int = 12288   # octree refinement budget (64^3 cells)
+    octree_levels: int = 3          # 3 = stride 8->4->1; 2 = single split
+    num_refine_subcells: int = 49152  # level-3 budget (4^3 sub-cells)
 
     # Sampling
     num_sample_inout: int = 300
@@ -248,6 +250,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--end_id", type=int, default=-1)
     p.add_argument("--use_color", type=int, default=0)
     p.add_argument("--no_octree", action="store_true")
+    p.add_argument("--octree_levels", type=int, default=3, choices=(2, 3),
+                   help="3 = stride 8->4->1 refinement, 2 = single split")
+    p.add_argument("--num_refine_subcells", type=int, default=49152,
+                   help="level-3 refinement budget (4^3 sub-cells)")
     p.add_argument("--num_refine_cells", type=int, default=12288,
                    help="two-phase refinement budget (cells of 8^3 voxels)")
     # Sampling
@@ -346,6 +352,8 @@ def parse_options(argv: Sequence[str] | None = None) -> Options:
         end_id=args.end_id, use_color=args.use_color,
         use_octree=not args.no_octree,
         num_refine_cells=args.num_refine_cells,
+        octree_levels=args.octree_levels,
+        num_refine_subcells=args.num_refine_subcells,
         num_sample_inout=args.num_sample_inout,
         sigma=args.sigma_max if args.sigma_max > 0 else args.sigma,
         sigma_max=args.sigma_max, sigma_min=args.sigma_min,

@@ -219,6 +219,46 @@ def test_sparse_direct_marching_matches_densified():
                                atol=1e-5)
 
 
+def test_three_phase_matches_dense_and_sparse3_marching():
+    """Three-level evaluation (stride 8->4->1): near-surface values match
+    dense within quantization, topology is exact, and the native
+    sparse3-direct marching equals the densify3 oracle."""
+    from rgbd_pifuhd_tpu.recon.grid import (
+        eval_grid_three_phase_sparse, densify_sparse3_volume,
+        sparse_scan_cells)
+    from rgbd_pifuhd_tpu.recon.marching import (
+        marching_tetrahedra_cells, marching_tetrahedra_sparse3)
+
+    res = 64
+    center = jnp.array([0.1, -0.05, 0.0])
+    dense = np.asarray(eval_grid_dense(sphere_occ, res, jnp.eye(4),
+                                       center, 0.5))
+    corner, top8, sub, top4, ref, diag = eval_grid_three_phase_sparse(
+        sphere_occ, res, jnp.eye(4), center, 0.5,
+        budget_cells=256, budget_subcells=1024, cells_per_chunk=256)
+    assert int(diag["n_active"]) <= 256
+    assert int(diag["n_active_subcells"]) <= 1024
+    corner, top8, sub, top4, ref = map(
+        np.asarray, (corner, top8, sub, top4, ref))
+    vol = densify_sparse3_volume(corner, top8, sub, top4, ref, res)
+    near = np.abs(dense - 0.5) < 0.1
+    assert near.sum() > 50
+    np.testing.assert_allclose(vol[near], dense[near], atol=0.01)
+    assert ((vol > 0.5) == (dense > 0.5)).mean() > 0.999
+
+    cells, _ = sparse_scan_cells(corner, top8, res, factor=8)
+    v1, f1 = marching_tetrahedra_cells(vol, cells, factor=8)
+    v3, f3 = marching_tetrahedra_sparse3(corner, top8, sub, top4, ref,
+                                         cells, res)
+    assert len(v3) > 500
+    assert v1.shape == v3.shape and f1.shape == f3.shape
+    np.testing.assert_allclose(v1[np.lexsort(v1.T)], v3[np.lexsort(v3.T)],
+                               atol=1e-5)
+    # sphere geometry sanity on the sparse3 mesh
+    r = np.linalg.norm(v3 * (2.0 / res) - 1.0 - np.asarray(center), axis=1)
+    np.testing.assert_allclose(np.median(r), 0.5, atol=0.02)
+
+
 def test_budget_overflow_warns_and_still_meshes():
     """Surface needs more cells than the budget: the evaluator must report
     overflow, the Reconstructor must warn, and sign-change cells must still
