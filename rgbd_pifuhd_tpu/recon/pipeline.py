@@ -450,7 +450,8 @@ class Reconstructor:
         return colors, xyz_proj
 
     def _finish_img_color_host(self, verts, faces, colors, xyz_proj, feats,
-                               data, save_path, cleanup: bool) -> dict:
+                               data, save_path, cleanup: bool,
+                               montage_img: np.ndarray | None = None) -> dict:
         """HOST part: world mapping, cleanup, inpainting, export."""
         if "calib_world" in data and data["calib_world"] is not None:
             cw_inv = np.linalg.inv(np.asarray(data["calib_world"], np.float64))
@@ -463,7 +464,10 @@ class Reconstructor:
             colors, xyz_proj = colors2[:, :3], colors2[:, 3:6]
             colors = estimate_back_colors(colors, xyz_proj)
         save_obj_with_color(save_path, verts, faces, colors)
-        self._save_montage(data, feats, save_path)
+        if montage_img is not None:
+            self._write_montage(montage_img, save_path)
+        else:
+            self._save_montage(data, feats, save_path)
         return {"verts": verts, "faces": faces}
 
     def gen_mesh(self, data: dict, save_path: str, resolution=None,
@@ -517,16 +521,16 @@ class Reconstructor:
 
         res = resolution or self.opt.resolution
 
-        def host_stage(verts, faces, colors, xyz_proj, feats, data,
+        def host_stage(verts, faces, colors, xyz_proj, montage, feats, data,
                        save_path, t0, diag):
             if use_color == 0:
                 save_obj_with_color(save_path, verts, faces, colors)
-                self._save_montage(data, feats, save_path)
+                self._write_montage(montage, save_path)
                 out = {"verts": verts, "faces": faces}
             else:
                 out = self._finish_img_color_host(
                     verts, faces, colors, xyz_proj, feats, data, save_path,
-                    cleanup=use_color == 2)
+                    cleanup=use_color == 2, montage_img=montage)
             out.update(secs=time.time() - t0, grid_diag=diag)
             return out
 
@@ -550,31 +554,42 @@ class Reconstructor:
                 else:
                     colors, xyz_proj = self._sample_img_colors(
                         verts, data, cleanup=use_color == 2)
+                # pull montage panels on the MAIN thread: tiny device
+                # reads issued from the worker would queue behind the
+                # next subject's evaluation kernels
+                montage = self._montage_arrays(data, feats)
                 if pending is not None:
                     results.append(pending.result())
                 pending = ex.submit(host_stage, verts, faces, colors,
-                                    xyz_proj, feats, data, save_path, t0,
-                                    self.last_grid_diag)
+                                    xyz_proj, montage, feats, data,
+                                    save_path, t0, self.last_grid_diag)
             if pending is not None:
                 results.append(pending.result())
         return results
 
-    def _save_montage(self, data: dict, feats, save_path: str) -> None:
-        """Input/normal-map side-by-side PNG (reconstruction.py:48-54).
-        Panels are quantized to uint8 ON DEVICE — a 512^2 f32 normal map is
-        3 MB over the host link, its uint8 form 0.75 MB."""
-        try:
-            import cv2
-        except ImportError:
-            return
+    def _montage_arrays(self, data: dict, feats) -> np.ndarray | None:
+        """DEVICE part of the montage: quantize panels to uint8 on device
+        (a 512^2 f32 normal map is 3 MB over the host link, its uint8 form
+        0.75 MB) and pull them to host."""
         _, g_feats = feats
         panels = [np.asarray(jax.jit(_quantize_colors)(
             jnp.asarray(data["img_512"][0])[..., :3]))]
         for m in (g_feats.nml_front, g_feats.nml_back):
             if m is not None:
                 panels.append(np.asarray(jax.jit(_quantize_colors)(m[0])))
-        img = np.concatenate(panels, axis=1)[:, :, ::-1]
+        return np.concatenate(panels, axis=1)[:, :, ::-1]
+
+    @staticmethod
+    def _write_montage(img: np.ndarray, save_path: str) -> None:
+        try:
+            import cv2
+        except ImportError:
+            return
         cv2.imwrite(save_path[:-4] + ".png", img)
+
+    def _save_montage(self, data: dict, feats, save_path: str) -> None:
+        """Input/normal-map side-by-side PNG (reconstruction.py:48-54)."""
+        self._write_montage(self._montage_arrays(data, feats), save_path)
 
 
 def estimate_back_colors(colors: np.ndarray, xyz: np.ndarray,
