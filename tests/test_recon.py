@@ -259,6 +259,29 @@ def test_three_phase_matches_dense_and_sparse3_marching():
     np.testing.assert_allclose(np.median(r), 0.5, atol=0.02)
 
 
+def test_three_phase_subcell_overflow_warns():
+    """Sub-cell budget smaller than the active sub-cell count: diag
+    reports it and the Reconstructor warning fires."""
+    import types
+    import warnings
+    from rgbd_pifuhd_tpu.recon.grid import eval_grid_three_phase_sparse
+    from rgbd_pifuhd_tpu.recon.pipeline import Reconstructor
+
+    res = 64
+    *_rest, diag = eval_grid_three_phase_sparse(
+        sphere_occ, res, jnp.eye(4), jnp.zeros(3), 0.8,
+        budget_cells=256, budget_subcells=64, cells_per_chunk=64)
+    assert int(diag["n_active_subcells"]) > int(diag["budget_subcells"])
+
+    shim = types.SimpleNamespace(last_grid_diag=None)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        Reconstructor._check_budget(shim, diag)
+    assert any("sub-cell refinement budget overflow" in str(w.message)
+               for w in caught)
+    assert shim.last_grid_diag["overflow_subcells"] > 0
+
+
 def test_budget_overflow_warns_and_still_meshes():
     """Surface needs more cells than the budget: the evaluator must report
     overflow, the Reconstructor must warn, and sign-change cells must still
