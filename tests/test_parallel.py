@@ -53,6 +53,29 @@ def test_sharded_grid_eval_matches_dense():
     np.testing.assert_allclose(two[near], dense[near], atol=1e-6)
 
 
+def test_sharded_three_phase_matches_dense():
+    """The three-level evaluator with a sharded query on 8 devices."""
+    from rgbd_pifuhd_tpu.recon.grid import (
+        eval_grid_three_phase_sparse, densify_sparse3_volume)
+
+    mesh = make_device_mesh()
+    sharded = shard_points_query(sphere_occ, mesh)
+    res = 64
+    center = jnp.array([0.05, 0.0, -0.1])
+    dense = np.asarray(eval_grid_dense(sphere_occ, res, jnp.eye(4),
+                                       center, 0.55))
+    corner, top8, sub, top4, ref, _diag = eval_grid_three_phase_sparse(
+        sharded, res, jnp.eye(4), center, 0.55,
+        budget_cells=256, budget_subcells=1024, cells_per_chunk=256)
+    vol = densify_sparse3_volume(np.asarray(corner), np.asarray(top8),
+                                 np.asarray(sub), np.asarray(top4),
+                                 np.asarray(ref), res)
+    near = np.abs(dense - 0.5) < 0.1
+    assert near.sum() > 50
+    np.testing.assert_allclose(vol[near], dense[near], atol=0.01)
+    assert ((vol > 0.5) == (dense > 0.5)).mean() > 0.999
+
+
 def test_sharded_model_query_runs(rng):
     """MultiResPIFu query wrapped with shard_map over the point axis."""
     from rgbd_pifuhd_tpu.models import MultiResPIFu
