@@ -94,12 +94,23 @@ def main(argv=None):
 
     if opt.use_octree and end - start > 1:
         # two-slot pipeline: subject i's host marching/coloring/IO overlaps
-        # subject i+1's device evaluation (see Reconstructor.gen_mesh_many)
-        datas = [load(i) for i in range(start, end)]
-        paths = [path_for(d) for d in datas]
-        for p in paths:
+        # subject i+1's device evaluation (see Reconstructor.gen_mesh_many).
+        # Subjects are loaded lazily (generator) so host memory holds the
+        # two in-flight subjects, not the whole dataset.
+        paths: list[str] = []
+
+        def iter_items():
+            for i in range(start, end):
+                yield load(i)
+
+        def path_for_and_log(data):
+            p = path_for(data)
             print(p)
-        results = recon.gen_mesh_many(datas, paths, use_color=opt.use_color,
+            paths.append(p)
+            return p
+
+        results = recon.gen_mesh_many(iter_items(), path_for_and_log,
+                                      use_color=opt.use_color,
                                       resolution=opt.resolution)
         for p, r in zip(paths, results):
             print(f"{p}: verts={len(r['verts'])} secs={r['secs']:.2f}")

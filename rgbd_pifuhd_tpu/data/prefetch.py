@@ -28,13 +28,12 @@ class Prefetcher:
         return len(self.indices)
 
     def __iter__(self) -> Iterator:
-        out_q: "queue.Queue" = queue.Queue(maxsize=self.buffer)
         idx_q: "queue.Queue" = queue.Queue()
         for pos, i in enumerate(self.indices):
             idx_q.put((pos, i))
 
         results: dict[int, object] = {}
-        lock = threading.Lock()
+        cond = threading.Condition()  # wakes the consumer on each result
         stop = threading.Event()
 
         def worker():
@@ -47,8 +46,13 @@ class Prefetcher:
                     item = self.fetch(i)
                 except Exception as e:  # surface errors to the consumer
                     item = e
-                with lock:
+                with cond:
                     results[pos] = item
+                    cond.notify_all()
+                    # bound readahead: don't run more than `buffer` items
+                    # ahead of the consumer (results holds the backlog)
+                    while len(results) > self.buffer and not stop.is_set():
+                        cond.wait(0.1)
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_threads)]
@@ -57,23 +61,38 @@ class Prefetcher:
 
         try:
             for pos in range(len(self.indices)):
-                while True:
-                    with lock:
-                        if pos in results:
-                            item = results.pop(pos)
-                            break
-                    threading.Event().wait(0.002)
+                with cond:
+                    while pos not in results:
+                        cond.wait()
+                    item = results.pop(pos)
+                    cond.notify_all()  # unblock producers waiting on backlog
                 if isinstance(item, Exception):
                     raise item
                 yield item
         finally:
             stop.set()
+            with cond:
+                cond.notify_all()
 
 
 def prefetch_batches(dataset, batch_size: int, collate: Callable,
-                     order, num_threads: int = 2):
-    """Prefetching equivalent of train.loop._batches."""
-    starts = range(0, len(order) - batch_size + 1, batch_size)
+                     order, num_threads: int = 2, drop_last: bool = True):
+    """Prefetching equivalent of train.loop._batches.
+
+    ``drop_last=True`` (training default): only full batches are yielded, so
+    every step sees one static batch shape (one jit compilation).
+    ``drop_last=False`` (evaluation): a final SHORTER batch carries the
+    remainder so every dataset item is seen exactly once per epoch — the
+    reference's eval driver evaluates every item (eval.py:157-206).  The
+    tail batch has a different leading dimension and costs the consumer one
+    extra jit compilation.
+    """
+    order = list(order)
+    starts = list(range(0, max(len(order) - batch_size + 1, 0), batch_size))
+    if not drop_last:
+        done = len(starts) * batch_size
+        if done < len(order):
+            starts.append(done)  # final partial batch
 
     def fetch(s):
         return collate([dataset[int(i)] for i in order[s:s + batch_size]])

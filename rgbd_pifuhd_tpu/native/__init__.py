@@ -182,6 +182,13 @@ def load_meshio():
                 ctypes.POINTER(ctypes.c_double),
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int,
             ]
+            lib.bbox_quantize_u16.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,  # verts, n
+                ctypes.POINTER(ctypes.c_float),                   # lo[3]
+                ctypes.POINTER(ctypes.c_float),                   # scale[3]
+                ctypes.POINTER(ctypes.c_uint16),                  # out u16
+                ctypes.c_int,                                     # threads
+            ]
             lib.obj_write.restype = ctypes.c_int
             lib.obj_write.argtypes = [
                 ctypes.c_char_p,

@@ -321,6 +321,7 @@ static void run_masked_scan(const Field& fld, int64_t res, int factor,
   std::vector<ThreadOut> outs(n_threads);
   std::vector<std::thread> threads;
 
+  const bool single = n_threads == 1;
   auto worker = [&](int t) {
     ThreadOut& out = outs[t];
     EdgeMap map(1 << 14);
@@ -338,15 +339,25 @@ static void run_masked_scan(const Field& fld, int64_t res, int factor,
       const int64_t x1 = bx + factor - 1 < ncx ? bx + factor - 1 : ncx - 1;
       const int64_t y1 = by + factor - 1 < ncy ? by + factor - 1 : ncy - 1;
       const int64_t z1 = bz + factor - 1 < ncz ? bz + factor - 1 : ncz - 1;
-      // stage the cell + apron (cubes read voxels x0..x1+1 etc.)
+      // stage the cell + apron (cubes read voxels x0..x1+1 etc.),
+      // tracking min/max for the cell-level early-out
       const int64_t ex = x1 + 1, ey = y1 + 1, ez = z1 + 1;
       const int64_t ddz = ez - z0 + 1, ddy = (ey - y0 + 1) * ddz;
+      float mn = 2.f, mx = -1.f;
       for (int64_t x = x0; x <= ex; ++x)
         for (int64_t y = y0; y <= ey; ++y) {
           float* row = tile.data() + (x - x0) * ddy + (y - y0) * ddz;
-          for (int64_t z = z0; z <= ez; ++z)
-            row[z - z0] = fld.value3(x, y, z);
+          for (int64_t z = z0; z <= ez; ++z) {
+            const float v = fld.value3(x, y, z);
+            row[z - z0] = v;
+            mn = v < mn ? v : mn;
+            mx = v > mx ? v : mx;
+          }
         }
+      // whole tile on one side of the threshold: no cube here can emit a
+      // triangle, and skipping the visited marks is safe (any overlapping
+      // scan of these cubes also finds uniform corners and emits nothing)
+      if (mn > thresh || mx <= thresh) continue;
       const ScratchField sf{tile.data(), x0, y0, z0, ddy, ddz,
                             res, res, res * res};
       for (int64_t x = x0; x <= x1; ++x)
@@ -354,8 +365,14 @@ static void run_masked_scan(const Field& fld, int64_t res, int factor,
           for (int64_t z = z0; z <= z1; ++z) {
             const int64_t cid = (x * ncy + y) * ncz + z;
             const unsigned char bit = (unsigned char)(1u << (cid & 7));
-            const unsigned char prev =
-                __atomic_fetch_or(&vis[cid >> 3], bit, __ATOMIC_RELAXED);
+            unsigned char prev;
+            if (single) {  // no other writer: skip the lock-prefixed RMW
+              prev = vis[cid >> 3];
+              vis[cid >> 3] = (unsigned char)(prev | bit);
+            } else {
+              prev = __atomic_fetch_or(&vis[cid >> 3], bit,
+                                       __ATOMIC_RELAXED);
+            }
             if (prev & bit) continue;
             process_cube(sf, thresh, case_table, x, y, z, out, map);
           }

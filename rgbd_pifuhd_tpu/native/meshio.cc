@@ -134,6 +134,50 @@ void transform_affine(const float* pts, int64_t n, const double* m,
   for (auto& th : ths) th.join();
 }
 
+// Fused bbox + uint16 fixed-point quantization of vertex positions (the
+// host->device side of the coloring chunks, recon/pipeline._chunked).
+// NumPy needs 4+ full passes with multi-MB temporaries (min, max,
+// subtract, divide, round, cast); this is two cache-friendly passes.
+// lo_out/scale_out: float[3]; out: uint16[n*3] (caller-allocated).
+void bbox_quantize_u16(const float* verts, int64_t n, float* lo_out,
+                       float* scale_out, uint16_t* out, int n_threads) {
+  if (n <= 0) return;
+  float lo[3] = {verts[0], verts[1], verts[2]};
+  float hi[3] = {verts[0], verts[1], verts[2]};
+  for (int64_t i = 1; i < n; ++i) {
+    for (int k = 0; k < 3; ++k) {
+      const float v = verts[i * 3 + k];
+      lo[k] = v < lo[k] ? v : lo[k];
+      hi[k] = v > hi[k] ? v : hi[k];
+    }
+  }
+  float inv[3], scale[3];
+  for (int k = 0; k < 3; ++k) {
+    scale[k] = (hi[k] - lo[k]) / 65535.0f;
+    if (scale[k] < 1e-12f) scale[k] = 1e-12f;
+    inv[k] = 1.0f / scale[k];
+    lo_out[k] = lo[k];
+    scale_out[k] = scale[k];
+  }
+  if (n_threads <= 0) {
+    n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = 1;
+  }
+  std::vector<std::thread> ths;
+  for (int t = 0; t < n_threads; ++t)
+    ths.emplace_back([&, t] {
+      const int64_t i0 = n * t / n_threads, i1 = n * (t + 1) / n_threads;
+      for (int64_t i = i0; i < i1; ++i)
+        for (int k = 0; k < 3; ++k) {
+          const float q =
+              (verts[i * 3 + k] - lo[k]) * inv[k] + 0.5f;  // round-half-up
+          out[i * 3 + k] = (uint16_t)(q < 0.f ? 0.f
+                                              : (q > 65535.f ? 65535.f : q));
+        }
+    });
+  for (auto& th : ths) th.join();
+}
+
 // OBJ export: v lines (with optional rgb), f lines with flipped winding
 // (reference save_obj_mesh_with_color, mesh_util.py:189-198).
 // Lines are formatted into per-thread buffers in parallel, then written

@@ -51,8 +51,18 @@ def _quantize_colors(vals: jax.Array) -> jax.Array:
     """[-1, 1] -> uint8 ON DEVICE: vertex colors cross the (slow) host link
     as 3 bytes/vert instead of 12.  Max quantization error 1/510 — below
     any display's precision; the reference writes raw f32 (%.4f) colors
-    (mesh_util.py:193), divergence documented in PARITY.md."""
-    return jnp.round((vals * 0.5 + 0.5) * 255.0).astype(jnp.uint8)
+    (mesh_util.py:193), divergence documented in PARITY.md.  Inputs are
+    clipped: a value marginally above 1.0 must saturate to 255, not wrap
+    to 0 (the replaced montage code clipped the same way)."""
+    return jnp.round(
+        jnp.clip(vals * 0.5 + 0.5, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
+# module-level jitted quantizer/montage builders: one compile reused across
+# every subject (a per-call jax.jit() would retrace in multi-subject loops)
+_quantize_colors_jit = jax.jit(_quantize_colors)
+_montage_concat_jit = jax.jit(
+    lambda panels: _quantize_colors(jnp.concatenate(panels, axis=1)))
 
 
 def _dequantize_verts(vq: jax.Array, lo: jax.Array,
@@ -156,6 +166,7 @@ class Reconstructor:
                 lambda vq: _img_color(im, vq, lo, sc, cal), vqs))
         self._vol_cache: dict[int, np.ndarray] = {}  # reused host buffers
         self.last_grid_diag: dict | None = None  # refinement-budget health
+        self._esc_budgets: dict[int, dict] = {}  # escalated budgets per res
 
     # ----------------------------------------------------------- filtering
     def encode(self, img_local: jax.Array, img_global: jax.Array):
@@ -219,14 +230,9 @@ class Reconstructor:
             self.last_grid_diag = None
         return np.asarray(vol), None  # THE one device->host transfer
 
-    def _check_budget(self, diag) -> None:
-        """Warn when the refinement budget under-covered the surface.
-
-        The reference's threshold-based octree refines EVERY active cell
-        (mesh_util.py:124-187); the fixed-budget redesign refines only the
-        top-K, so overflow must be loud: overflow cells silently degrade to
-        8x-coarser corner interpolation otherwise.
-        """
+    @staticmethod
+    def _diag_host(diag) -> dict:
+        """Pull the refinement-budget diagnostics to host ints."""
         d = {"kth_activity": float(diag["kth_activity"]),
              "n_active": int(diag["n_active"]),
              "budget_cells": int(diag["budget_cells"])}
@@ -236,6 +242,18 @@ class Reconstructor:
             d["budget_subcells"] = int(diag["budget_subcells"])
             d["overflow_subcells"] = max(
                 0, d["n_active_subcells"] - d["budget_subcells"])
+        return d
+
+    def _check_budget(self, diag) -> None:
+        """Warn when the refinement budget under-covered the surface.
+
+        The reference's threshold-based octree refines EVERY active cell
+        (mesh_util.py:124-187); the fixed-budget redesign refines only the
+        top-K, so overflow must be loud: overflow cells silently degrade to
+        8x-coarser corner interpolation otherwise.
+        """
+        d = diag if isinstance(diag, dict) and "overflow_cells" in diag \
+            else Reconstructor._diag_host(diag)
         self.last_grid_diag = d
         if d["overflow_cells"] > 0:
             import warnings
@@ -268,35 +286,84 @@ class Reconstructor:
         ``extract_mesh`` directly.  Split from ``extract_mesh`` so a
         multi-subject driver can overlap subject i+1's device evaluation
         with subject i's host marching.
+
+        Budget auto-escalation (``opt.auto_escalate_budget``, default on):
+        when the refinement budget under-covers the active surface, the
+        evaluation RE-RUNS with the budget doubled until it covers (the
+        reference's threshold octree never under-refines).  Doubling keeps
+        the set of compiled budget sizes logarithmic; the escalated budget
+        is remembered per resolution, so only the first under-budgeted
+        subject pays the extra evaluation + compile.
         """
         calib_inv = jnp.linalg.inv(calib)
         n = resolution // 8
-        budget = budget_cells or min(
+        esc = self._esc_budgets.setdefault(resolution, {})
+        budget = budget_cells or esc.get("cells") or min(
             getattr(self.opt, "num_refine_cells", 12288), n ** 3)
+        auto = (getattr(self.opt, "auto_escalate_budget", True)
+                and budget_cells is None)
         levels = getattr(self.opt, "octree_levels", 3)
         if levels == 3 and resolution % 8 == 0:
-            sub_budget = min(
-                getattr(self.opt, "num_refine_subcells", 49152), budget * 8)
-            corner, top8, sub_q, top4, refined, diag = (
-                eval_grid_three_phase_sparse(
-                    self._query, resolution, calib_inv,
-                    self.params, l_feats, g_feats, calib,
-                    factor=8, budget_cells=budget,
-                    budget_subcells=sub_budget,
-                ))
-            self._check_budget(diag)
+            sub_budget = esc.get("subcells") or min(
+                getattr(self.opt, "num_refine_subcells", 65536), budget * 8)
+            while True:
+                corner, top8, sub_q, top4, refined, diag = (
+                    eval_grid_three_phase_sparse(
+                        self._query, resolution, calib_inv,
+                        self.params, l_feats, g_feats, calib,
+                        factor=8, budget_cells=budget,
+                        budget_subcells=sub_budget,
+                    ))
+                d = self._diag_host(diag)
+                if not auto:
+                    break
+                grew = False
+                while d["overflow_cells"] > 0 and budget < n ** 3:
+                    budget = min(budget * 2, n ** 3)
+                    grew = True
+                    if budget > d["n_active"]:
+                        break
+                cap = budget * 8
+                while (d.get("overflow_subcells", 0) > 0
+                       and sub_budget < cap):
+                    sub_budget = min(sub_budget * 2, cap)
+                    grew = True
+                    if sub_budget > d["n_active_subcells"]:
+                        break
+                if not grew:
+                    break
+                print(f"[recon] escalating refinement budget: "
+                      f"cells {d['budget_cells']}->{budget}, "
+                      f"sub-cells {d.get('budget_subcells', 0)}"
+                      f"->{sub_budget} "
+                      f"(active: {d['n_active']} cells, "
+                      f"{d.get('n_active_subcells', 0)} sub-cells)")
+                esc["cells"], esc["subcells"] = budget, sub_budget
+            self._check_budget(d)
             corner, top8, sub_q, top4, refined = (
                 np.asarray(corner), np.asarray(top8), np.asarray(sub_q),
                 np.asarray(top4), np.asarray(refined))
             cells, _marks = sparse_scan_cells(corner, top8, resolution,
                                               factor=8)
             return corner, top8, sub_q, top4, refined, cells
-        corner, top_idx, refined, diag = eval_grid_two_phase_sparse(
-            self._query, resolution, calib_inv,
-            self.params, l_feats, g_feats, calib,
-            factor=8, budget_cells=budget,
-        )
-        self._check_budget(diag)
+        while True:
+            corner, top_idx, refined, diag = eval_grid_two_phase_sparse(
+                self._query, resolution, calib_inv,
+                self.params, l_feats, g_feats, calib,
+                factor=8, budget_cells=budget,
+            )
+            d = self._diag_host(diag)
+            if not (auto and d["overflow_cells"] > 0 and budget < n ** 3):
+                break
+            while d["overflow_cells"] > 0 and budget < n ** 3:
+                budget = min(budget * 2, n ** 3)
+                if budget > d["n_active"]:
+                    break
+            print(f"[recon] escalating refinement budget: cells "
+                  f"{d['budget_cells']}->{budget} "
+                  f"(active: {d['n_active']})")
+            esc["cells"] = budget
+        self._check_budget(d)
         corner, top_idx, refined = (
             np.asarray(corner), np.asarray(top_idx), np.asarray(refined))
         cells, _marks = sparse_scan_cells(corner, top_idx, resolution,
@@ -378,25 +445,53 @@ class Reconstructor:
     _COLOR_CHUNK = 65536
 
     def _chunked(self, fn_many, verts: np.ndarray) -> np.ndarray:
-        """All chunks through ONE jitted lax.map call: one dispatch, one
-        down-transfer (per-chunk round trips cost ~20-40 ms each over a
-        slow link).  Verts go up as uint16 bbox-fixed-point (6 B/vert),
-        colors come back quantized uint8 (3 B/vert): 9 instead of 24 bytes
-        of link traffic per vertex.  Above 4, the chunk count pads to a
-        multiple of 4 to bound recompilations across mesh sizes."""
+        """Chunks go through jitted lax.map calls in up to 4 macro-groups:
+        group g+1's host->device upload overlaps group g's device compute
+        and earlier groups' down-transfers (jax async dispatch), hiding
+        most of the link time behind the MLP evaluation — worth a few
+        extra ~20-40 ms dispatch round trips once the mesh is large.
+        Verts go up as uint16 bbox-fixed-point (6 B/vert), colors come
+        back quantized uint8 (3 B/vert): 9 instead of 24 bytes of link
+        traffic per vertex.  Above 4, the chunk count pads to a multiple
+        of 4 so every group has the same shape (ONE compile)."""
+        from ..native import load_meshio
         V = len(verts)
+        if V == 0:
+            return np.zeros((0, 3), np.float32)
         chunk = self._COLOR_CHUNK
         K = max(1, -(-V // chunk))
         if K > 4:
             K = -(-K // 4) * 4
-        lo = verts.min(axis=0).astype(np.float32)
-        scale = ((verts.max(axis=0) - lo) / 65535.0).astype(np.float32)
-        scale = np.maximum(scale, 1e-12)
+        lib = load_meshio()
         vq = np.zeros((K * chunk, 3), np.uint16)
-        vq[:V] = np.round((verts - lo) / scale).astype(np.uint16)
-        res = fn_many(jnp.asarray(vq.reshape(K, chunk, 3)),
-                      jnp.asarray(lo), jnp.asarray(scale))
-        out = np.asarray(res).reshape(-1, 3)[:V].astype(np.float32)
+        if lib is not None and V > 0:
+            # fused bbox+quantize in C++: two passes instead of numpy's 4+
+            # with multi-MB temporaries (measurable on the one host core)
+            import ctypes
+            src = np.ascontiguousarray(verts, np.float32)
+            lo = np.empty(3, np.float32)
+            scale = np.empty(3, np.float32)
+            lib.bbox_quantize_u16(
+                src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                ctypes.c_int64(V),
+                lo.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                scale.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                vq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), 0)
+        else:
+            lo = verts.min(axis=0).astype(np.float32)
+            scale = ((verts.max(axis=0) - lo) / 65535.0).astype(np.float32)
+            scale = np.maximum(scale, 1e-12)
+            vq[:V] = np.round((verts - lo) / scale).astype(np.uint16)
+        vqs = vq.reshape(K, chunk, 3)
+        lo_d, scale_d = jnp.asarray(lo), jnp.asarray(scale)
+        if K % 4 == 0 and K > 4:
+            g = K // 4
+            parts = [fn_many(jnp.asarray(vqs[i * g:(i + 1) * g]),
+                             lo_d, scale_d) for i in range(4)]
+            res = np.concatenate([np.asarray(p) for p in parts], axis=0)
+        else:
+            res = np.asarray(fn_many(jnp.asarray(vqs), lo_d, scale_d))
+        out = res.reshape(-1, 3)[:V].astype(np.float32)
         out *= np.float32(1.0 / 255.0)
         return out
 
@@ -421,13 +516,17 @@ class Reconstructor:
             verts)
 
     # ----------------------------------------------------------- gen_mesh*
-    def _finish_normals(self, verts, faces, feats, data, save_path) -> dict:
+    def _finish_normals(self, verts, faces, feats, data, save_path,
+                        montage_img: np.ndarray | None = None) -> dict:
         t0 = time.time()
         colors = self.color_by_normals(verts, feats, data["calib"])
         t1 = time.time()
         save_obj_with_color(save_path, verts, faces, colors)
         t2 = time.time()
-        self._save_montage(data, feats, save_path)
+        if montage_img is not None:
+            self._write_montage(montage_img, save_path)
+        else:
+            self._save_montage(data, feats, save_path)
         return {"verts": verts, "faces": faces,
                 "finish_phases": {"color": round(t1 - t0, 4),
                                   "obj": round(t2 - t1, 4),
@@ -474,13 +573,47 @@ class Reconstructor:
                  use_octree=None) -> dict:
         """Normals-colored mesh (reference gen_mesh, reconstruction.py:25-75).
 
+        The montage panels are quantized on device right after encoding
+        (queued AHEAD of the grid evaluation) and pulled by a background
+        thread, so the montage cost hides entirely under the field
+        evaluation + host marching — the pull enqueues no device compute,
+        so it cannot head-of-line-block the evaluation kernels.
+
         The result dict carries a ``phases`` timing breakdown
         (encode+field+march / world-transform+color+obj+montage).
         """
+        import threading
+
         t0 = time.time()
-        verts, faces, feats = self.reconstruct(data, resolution, use_octree)
+        res = resolution or self.opt.resolution
+        use_oct = self.opt.use_octree if use_octree is None else use_octree
+
+        l_feats, g_feats = self.encode(data["img"], data["img_512"])
+        feats = (l_feats, g_feats)
+        calib = jnp.asarray(data["calib"], jnp.float32)
+        montage_dev = self._montage_device(data, feats)
+        holder: dict[str, np.ndarray] = {}
+        puller = threading.Thread(
+            target=lambda: holder.update(m=np.asarray(montage_dev)))
+        puller.start()
+
+        if use_oct:
+            field = self.evaluate_field(l_feats, g_feats, calib, res)
+            verts_idx, faces = self.extract_mesh(field, res)
+        else:
+            vol, _ = self.occupancy_volume(l_feats, g_feats, calib, res,
+                                           use_octree=False)
+            verts_idx, faces = marching_tetrahedra(vol)
+        if len(verts_idx) == 0:
+            puller.join()
+            raise RuntimeError("marching cubes produced an empty mesh")
+        verts, faces = self._to_world(verts_idx, faces, calib, res)
         t1 = time.time()
-        out = self._finish_normals(verts, faces, feats, data, save_path)
+
+        puller.join()
+        montage = holder["m"][:, :, ::-1]
+        out = self._finish_normals(verts, faces, feats, data, save_path,
+                                   montage_img=montage)
         t2 = time.time()
         out.update(secs=t2 - t0, grid_diag=self.last_grid_diag,
                    phases={"reconstruct": round(t1 - t0, 4),
@@ -516,10 +649,19 @@ class Reconstructor:
         device calls issued from the worker would queue behind the next
         subject's large evaluation kernel (head-of-line blocking) and
         pessimize the pipeline.  Returns result dicts in input order.
+
+        ``items`` may be any iterable (a generator keeps host memory at
+        O(2 subjects) for long datasets); ``save_paths`` may be a parallel
+        iterable of paths or a callable ``data -> path``.
         """
         from concurrent.futures import ThreadPoolExecutor
 
         res = resolution or self.opt.resolution
+        if callable(save_paths):
+            path_of = save_paths
+            pairs = ((d, path_of(d)) for d in items)
+        else:
+            pairs = zip(items, save_paths)
 
         def host_stage(verts, faces, colors, xyz_proj, montage, feats, data,
                        save_path, t0, diag):
@@ -537,9 +679,13 @@ class Reconstructor:
         results = []
         pending = None
         with ThreadPoolExecutor(max_workers=1) as ex:
-            for data, save_path in zip(items, save_paths):
+            for data, save_path in pairs:
                 t0 = time.time()
                 feats = self.encode(data["img"], data["img_512"])
+                # montage panels queued ahead of the field evaluation:
+                # their compute hides under it and the later pull is a
+                # pure transfer
+                montage_dev = self._montage_device(data, feats)
                 calib = jnp.asarray(data["calib"], jnp.float32)
                 field = self.evaluate_field(feats[0], feats[1], calib, res)
                 verts_idx, faces = self.extract_mesh(field, res)
@@ -554,10 +700,11 @@ class Reconstructor:
                 else:
                     colors, xyz_proj = self._sample_img_colors(
                         verts, data, cleanup=use_color == 2)
-                # pull montage panels on the MAIN thread: tiny device
-                # reads issued from the worker would queue behind the
-                # next subject's evaluation kernels
-                montage = self._montage_arrays(data, feats)
+                # pull on the MAIN thread: the compute was queued before
+                # the field evaluation, so this is a pure transfer (a
+                # device COMPUTE issued from the worker would queue
+                # behind the next subject's evaluation kernels)
+                montage = np.asarray(montage_dev)[:, :, ::-1]
                 if pending is not None:
                     results.append(pending.result())
                 pending = ex.submit(host_stage, verts, faces, colors,
@@ -567,17 +714,21 @@ class Reconstructor:
                 results.append(pending.result())
         return results
 
-    def _montage_arrays(self, data: dict, feats) -> np.ndarray | None:
-        """DEVICE part of the montage: quantize panels to uint8 on device
-        (a 512^2 f32 normal map is 3 MB over the host link, its uint8 form
-        0.75 MB) and pull them to host."""
+    def _montage_device(self, data: dict, feats) -> jax.Array:
+        """DEVICE part of the montage: quantize panels to uint8 and
+        concatenate ON DEVICE (a 512^2 f32 normal map is 3 MB over the
+        host link, its uint8 form 0.75 MB); the finished strip is pulled
+        with ONE transfer (each pull costs a ~20-40 ms round trip over
+        the tunneled link)."""
         _, g_feats = feats
-        panels = [np.asarray(jax.jit(_quantize_colors)(
-            jnp.asarray(data["img_512"][0])[..., :3]))]
+        panels = [jnp.asarray(data["img_512"][0])[..., :3]]
         for m in (g_feats.nml_front, g_feats.nml_back):
             if m is not None:
-                panels.append(np.asarray(jax.jit(_quantize_colors)(m[0])))
-        return np.concatenate(panels, axis=1)[:, :, ::-1]
+                panels.append(m[0])
+        return _montage_concat_jit(panels)
+
+    def _montage_arrays(self, data: dict, feats) -> np.ndarray | None:
+        return np.asarray(self._montage_device(data, feats))[:, :, ::-1]
 
     @staticmethod
     def _write_montage(img: np.ndarray, save_path: str) -> None:
@@ -595,45 +746,89 @@ class Reconstructor:
 def estimate_back_colors(colors: np.ndarray, xyz: np.ndarray,
                          k: int = 10, band: float = 1e-3) -> np.ndarray:
     """Back-face color inpainting (reference esti_color,
-    reconstruction.py:190-229), vectorized.
+    reconstruction.py:190-229), vectorized with BOUNDED memory.
 
     Every vertex with projected z < 0 (back-facing) receives the average
     color of up to ``k`` nearest-in-y boundary vertices (0 <= z < band) on
-    its left (x' < x) and right (x' >= x) sides.  The reference does this in
-    an O(N^2) Python loop; this implementation sorts the boundary set once
-    and uses chunked distance queries.
+    its left (x' < x) and right (x' >= x) sides.  The reference does this
+    in an O(N^2) Python loop; here the boundary set is y-sorted ONCE and
+    each chunk of back vertices queries only a y-window of candidates —
+    peak temporaries are O(chunk * window), never O(chunk * boundary)
+    (the previous dense form allocated ~3 GB at 100k boundary verts).
+
+    Exactness: a window is accepted per row/side only when it provably
+    contains the k nearest same-side candidates — at least k valid
+    candidates AND the k-th nearest is closer in y than both unclamped
+    window edges; failing rows escalate to a 4x window (up to the full
+    boundary set), so the result matches the dense computation.
     """
     colors = colors.copy()
     back = np.nonzero(xyz[:, 2] < 0)[0]
     boundary = np.nonzero((xyz[:, 2] >= 0) & (xyz[:, 2] < band))[0]
     if len(back) == 0 or len(boundary) == 0:
         return colors
-    bx = xyz[boundary, 0]
-    by = xyz[boundary, 1]
+    order = np.argsort(xyz[boundary, 1], kind="stable")
+    boundary = boundary[order]
+    bx = np.ascontiguousarray(xyz[boundary, 0])
+    by = np.ascontiguousarray(xyz[boundary, 1])
     bc = colors[boundary].astype(np.float64)
+    M = len(boundary)
+
+    def side_avg(px, py, window, rows=None):
+        """(sum, cnt, exact) of up-to-k nearest-in-y per side for one
+        window size.  px/py: [n]; returns arrays over the n rows."""
+        n = len(px)
+        W = min(window, M)
+        pos = np.searchsorted(by, py)
+        lo = np.clip(pos - W // 2, 0, M - W)                  # [n]
+        cols = lo[:, None] + np.arange(W)[None, :]            # [n, W]
+        wy = by[cols]
+        wx = bx[cols]
+        dy = np.abs(wy - py[:, None])                         # [n, W]
+        # y-distance guaranteed covered by this window: min over edges
+        # that are NOT clamped at the array boundary (nothing beyond a
+        # clamped edge, so it guards nothing)
+        edge_lo = np.where(lo > 0, dy[:, 0], np.inf)
+        edge_hi = np.where(lo + W < M, dy[:, -1], np.inf)
+        safe = np.minimum(edge_lo, edge_hi)                   # [n]
+        out_sum = np.zeros((n, 3))
+        out_cnt = np.zeros((n,), np.int64)
+        exact = np.zeros((n,), bool)
+        for left in (True, False):
+            m = (wx < px[:, None]) if left else (wx >= px[:, None])
+            d = np.where(m, dy, np.inf)
+            kk = min(k, W)
+            nearest = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            nd = np.take_along_axis(d, nearest, axis=1)       # [n, kk]
+            valid = nd < np.inf
+            cnt = valid.sum(axis=1)
+            kth = np.where(cnt > 0, nd.max(axis=1, initial=0.0,
+                                           where=valid), 0.0)
+            col = bc[np.take_along_axis(cols, nearest, axis=1)]
+            out_sum += (col * valid[..., None]).sum(axis=1)
+            out_cnt += cnt
+            # side is exact if the whole boundary fit the window, or the
+            # kth neighbor is provably inside the covered y-radius
+            ok = (W >= M) | ((cnt >= kk) & (kth <= safe))
+            exact = ok if left else (exact & ok)
+        if rows is None:
+            rows = np.arange(n)
+        return rows, out_sum, out_cnt, exact
 
     chunk = 4096
     for s in range(0, len(back), chunk):
         ids = back[s:s + chunk]
-        px = xyz[ids, 0][:, None]
-        py = xyz[ids, 1][:, None]
-        dy = np.abs(by[None, :] - py)               # [n, M]
-        for side in ("left", "right"):
-            m = (bx[None, :] < px) if side == "left" else (bx[None, :] >= px)
-            d = np.where(m, dy, np.inf)
-            kk = min(k, d.shape[1])
-            nearest = np.argpartition(d, kk - 1, axis=1)[:, :kk]
-            valid = np.take_along_axis(d, nearest, axis=1) < np.inf
-            col = bc[nearest]                        # [n, k, 3]
-            cnt = valid.sum(axis=1, keepdims=True)
-            avg = (col * valid[..., None]).sum(axis=1) / np.maximum(cnt, 1)
-            if side == "left":
-                acc, acc_cnt = avg * cnt, cnt.astype(np.float64)
-            else:
-                acc = acc + avg * cnt
-                acc_cnt = acc_cnt + cnt
-        ok = acc_cnt[:, 0] > 0
-        colors[ids[ok]] = (acc[ok] / acc_cnt[ok]).astype(colors.dtype)
+        px = np.ascontiguousarray(xyz[ids, 0])
+        py = np.ascontiguousarray(xyz[ids, 1])
+        rows, acc, cnt, exact = side_avg(px, py, window=8 * k)
+        W = 8 * k
+        while not exact.all() and W < M:
+            W *= 4
+            redo = np.nonzero(~exact)[0]
+            r2, s2, c2, e2 = side_avg(px[redo], py[redo], W, rows=redo)
+            acc[redo], cnt[redo], exact[redo] = s2, c2, e2 | (W >= M)
+        ok = cnt > 0
+        colors[ids[ok]] = (acc[ok] / cnt[ok, None]).astype(colors.dtype)
     return colors
 
 
@@ -687,6 +882,7 @@ class CoarseReconstructor(Reconstructor):
                 lambda vq: _img_color(im, vq, lo, sc, cal), vqs))
         self._vol_cache = {}
         self.last_grid_diag = None
+        self._esc_budgets = {}
 
     def encode(self, img_local, img_global):
         g_feats = self._filter_global(self.params, img_global)

@@ -76,7 +76,8 @@ def make_collate_normals(target_key: str, style_key: str) -> Callable:
 
 
 def _batches(dataset, batch_size: int, collate: Callable, seed: int,
-             shuffle: bool = True, num_threads: int = 2):
+             shuffle: bool = True, num_threads: int = 2,
+             drop_last: bool = True):
     """Shuffled, background-prefetched batches (DataLoader equivalent)."""
     from ..data.prefetch import prefetch_batches
 
@@ -84,7 +85,8 @@ def _batches(dataset, batch_size: int, collate: Callable, seed: int,
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
     yield from prefetch_batches(dataset, batch_size, collate, order,
-                                num_threads=num_threads)
+                                num_threads=num_threads,
+                                drop_last=drop_last)
 
 
 # -------------------------------------------------------------- fine train
@@ -353,7 +355,12 @@ def evaluate_checkpoints(opt: Options, max_items: int | None = None,
 
     Batches are background-prefetched (the same ``_batches`` loader the
     trainers use) and, given a device mesh, sharded on the subject axis
-    over 'data' — the eval driver scales like the train step.
+    over 'data' — the eval driver scales like the train step.  EVERY item
+    is evaluated exactly once (reference eval.py:157-206): the final
+    partial batch is yielded shrunk (one extra jit compile) and the
+    per-epoch metric is the item-weighted mean.  A dataset smaller than
+    the device count falls back to unsharded evaluation rather than
+    silently yielding zero batches.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -367,33 +374,46 @@ def evaluate_checkpoints(opt: Options, max_items: int | None = None,
             b["calib_local"], b["calib_global"], b["labels"], train=False)
         return err["occ_fine"]
 
-    if mesh is not None:
+    n = min(len(dataset), max_items or len(dataset))
+    if mesh is not None and n >= mesh.devices.size:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
         fwd = jax.jit(fwd_fn, in_shardings=(repl, data),
                       out_shardings=repl)
         batch_size = max(opt.batch_size, mesh.devices.size)
         batch_size -= batch_size % mesh.devices.size
+        # the sharded step needs a device-divisible batch: the remainder
+        # (< devices after the clamp below) runs through an unsharded jit
+        fwd_tail = jax.jit(fwd_fn)
     else:
-        fwd = jax.jit(fwd_fn)
-        batch_size = opt.batch_size
+        fwd = fwd_tail = jax.jit(fwd_fn)
+        batch_size = max(min(opt.batch_size, n), 1)
 
-    n = min(len(dataset), max_items or len(dataset))
+    divisor = mesh.devices.size if (mesh is not None
+                                    and fwd is not fwd_tail) else 1
     epoch = 0
     while True:
         path = ckpt.epoch_path(opt.checkpoints_path, opt.name, epoch)
         if not os.path.exists(path):
             break
         params = ckpt.load_checkpoint(path)["params"]
-        errs = []
+        errs, weights = [], []
         count = 0
         for batch in _batches(dataset, batch_size, collate_fine,
-                              seed=0, shuffle=False):
+                              seed=0, shuffle=False, drop_last=False):
             if count >= n:
                 break
-            errs.append(float(fwd(params, batch)))
-            count += batch_size
-        results[epoch] = float(np.mean(errs))
+            bsz = int(batch["labels"].shape[0])
+            bsz = min(bsz, n - count)
+            if bsz < batch["labels"].shape[0]:  # max_items mid-batch clamp
+                batch = {k: v[:bsz] for k, v in batch.items()}
+            use = fwd if bsz % divisor == 0 else fwd_tail
+            errs.append(float(use(params, batch)))
+            weights.append(bsz)
+            count += bsz
+        if not errs:
+            raise RuntimeError(f"eval dataset is empty ({opt.dataroot})")
+        results[epoch] = float(np.average(errs, weights=weights))
         np.save(os.path.join(opt.checkpoints_path,
                              f"{opt.name}_eval_epoch_{epoch}.npy"),
                 np.asarray(errs))

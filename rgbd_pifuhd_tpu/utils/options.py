@@ -139,7 +139,12 @@ class Options:
     num_samples_query: int = 262144  # points per device batch in grid eval
     num_refine_cells: int = 12288   # octree refinement budget (64^3 cells)
     octree_levels: int = 3          # 3 = stride 8->4->1; 2 = single split
-    num_refine_subcells: int = 49152  # level-3 budget (4^3 sub-cells)
+    num_refine_subcells: int = 65536  # level-3 budget (4^3 sub-cells);
+    # 65536 covers the ~57k active sub-cells of a 1M-vert human surface at
+    # 512^3 (the old 49152 default under-refined the flagship workload)
+    auto_escalate_budget: bool = True  # re-run with doubled budget on
+    # overflow instead of degrading to coarse interpolation (the reference
+    # octree never under-refines, mesh_util.py:124-187)
 
     # Sampling
     num_sample_inout: int = 300
@@ -252,10 +257,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_octree", action="store_true")
     p.add_argument("--octree_levels", type=int, default=3, choices=(2, 3),
                    help="3 = stride 8->4->1 refinement, 2 = single split")
-    p.add_argument("--num_refine_subcells", type=int, default=49152,
+    p.add_argument("--num_refine_subcells", type=int, default=65536,
                    help="level-3 refinement budget (4^3 sub-cells)")
     p.add_argument("--num_refine_cells", type=int, default=12288,
                    help="two-phase refinement budget (cells of 8^3 voxels)")
+    p.add_argument("--no_auto_escalate_budget", action="store_true",
+                   help="disable budget doubling on refinement overflow")
     # Sampling
     p.add_argument("--num_sample_inout", type=int, default=300)
     p.add_argument("--sigma", type=float, default=1.0)
@@ -354,6 +361,7 @@ def parse_options(argv: Sequence[str] | None = None) -> Options:
         num_refine_cells=args.num_refine_cells,
         octree_levels=args.octree_levels,
         num_refine_subcells=args.num_refine_subcells,
+        auto_escalate_budget=not args.no_auto_escalate_budget,
         num_sample_inout=args.num_sample_inout,
         sigma=args.sigma_max if args.sigma_max > 0 else args.sigma,
         sigma_max=args.sigma_max, sigma_min=args.sigma_min,

@@ -288,6 +288,28 @@ def test_prefetcher_order_and_errors():
         list(Prefetcher(bad, range(5), num_threads=2))
 
 
+def test_prefetch_batches_tail():
+    """drop_last=False yields the remainder as one shorter batch; the
+    training default (drop_last=True) keeps only full batches — and a
+    dataset smaller than batch_size still yields its items under
+    drop_last=False (previously zero batches -> NaN eval hazard)."""
+    from rgbd_pifuhd_tpu.data.prefetch import prefetch_batches
+
+    data = list(range(10))
+    collate = list
+    full = [b for b in prefetch_batches(data, 4, collate, range(10))]
+    assert [len(b) for b in full] == [4, 4]
+    every = [b for b in prefetch_batches(data, 4, collate, range(10),
+                                         drop_last=False)]
+    assert [len(b) for b in every] == [4, 4, 2]
+    assert sorted(sum(every, [])) == data
+
+    tiny = [b for b in prefetch_batches(data[:3], 8, collate, range(3),
+                                        drop_last=False)]
+    assert [len(b) for b in tiny] == [3]
+    assert list(prefetch_batches(data[:3], 8, collate, range(3))) == []
+
+
 def test_sh_basis_and_prt():
     from rgbd_pifuhd_tpu.data.render import (
         sh_basis, sample_sphere_directions, compute_prt, rotate_sh_coeffs)

@@ -460,3 +460,110 @@ def test_coarse_only_reconstructor(rng, tmp_path):
                          resolution=32)
     assert os.path.exists(os.path.join(tmp_path, "coarse.obj"))
     assert len(out["verts"]) > 0
+
+
+def test_estimate_back_colors_matches_dense_oracle():
+    """The windowed y-sorted inpainting must match the dense O(n*M)
+    computation exactly (reference esti_color, reconstruction.py:190-229)."""
+    from rgbd_pifuhd_tpu.recon.pipeline import estimate_back_colors
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    xyz = rng.standard_normal((n, 3)).astype(np.float64)
+    # force a populated boundary band and a back set
+    xyz[: n // 3, 2] = rng.uniform(0.0, 1e-3, n // 3)      # boundary
+    xyz[n // 3: 2 * n // 3, 2] = -np.abs(
+        xyz[n // 3: 2 * n // 3, 2]) - 1e-6                  # back-facing
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+
+    def dense_oracle(colors, xyz, k=10, band=1e-3):
+        out = colors.copy()
+        back = np.nonzero(xyz[:, 2] < 0)[0]
+        boundary = np.nonzero((xyz[:, 2] >= 0) & (xyz[:, 2] < band))[0]
+        bx, by = xyz[boundary, 0], xyz[boundary, 1]
+        bc = out[boundary].astype(np.float64)
+        for i in back:
+            px, py = xyz[i, 0], xyz[i, 1]
+            dy = np.abs(by - py)
+            tot, cnt = np.zeros(3), 0
+            for m in (bx < px, bx >= px):
+                idx = np.nonzero(m)[0]
+                if len(idx) == 0:
+                    continue
+                sel = idx[np.argsort(dy[idx], kind="stable")[:k]]
+                tot += bc[sel].sum(axis=0)
+                cnt += len(sel)
+            if cnt:
+                out[i] = (tot / cnt).astype(out.dtype)
+        return out
+
+    got = estimate_back_colors(colors, xyz)
+    want = dense_oracle(colors, xyz)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_quantize_colors_clips_out_of_range():
+    from rgbd_pifuhd_tpu.recon.pipeline import _quantize_colors_jit
+    import jax.numpy as jnp
+
+    vals = jnp.asarray([[-1.5, -1.0, 0.0], [1.0, 1.01, 2.0]])
+    out = np.asarray(_quantize_colors_jit(vals))
+    np.testing.assert_array_equal(out, [[0, 0, 128], [255, 255, 255]])
+
+
+def test_budget_auto_escalation():
+    """An under-budgeted evaluation must RE-RUN with doubled budgets until
+    the active surface is covered (opt.auto_escalate_budget, default on) —
+    the reference's threshold octree never under-refines.  The escalated
+    budget is remembered so the next subject starts covered."""
+    import warnings
+    from rgbd_pifuhd_tpu.recon.pipeline import Reconstructor
+    from rgbd_pifuhd_tpu.utils.options import Options
+
+    center = jnp.zeros(3)
+
+    class Shim:
+        _query = staticmethod(
+            lambda pts, params, l, g, calib: sphere_occ(pts, center, 0.8))
+        _diag_host = staticmethod(Reconstructor._diag_host)
+        _check_budget = Reconstructor._check_budget
+        params = jnp.zeros(1)
+        last_grid_diag = None
+
+    shim = Shim()
+    shim._esc_budgets = {}
+    # budgets far below the r=0.8 sphere's active cell/sub-cell counts
+    shim.opt = Options(num_refine_cells=64, num_refine_subcells=64,
+                       octree_levels=3, auto_escalate_budget=True)
+    z = jnp.zeros(1)
+    calib = jnp.eye(4, dtype=jnp.float32)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        field = Reconstructor.evaluate_field(shim, z, z, calib, 64)
+    assert not [w for w in caught if "overflow" in str(w.message)], \
+        [str(w.message) for w in caught]
+    d = shim.last_grid_diag
+    assert d["overflow_cells"] == 0 and d["overflow_subcells"] == 0
+    esc = shim._esc_budgets[64]
+    assert esc["cells"] > 64 and esc["subcells"] > 64
+
+    # escalated field reconstructs the sphere at full accuracy
+    verts, _faces = Reconstructor.extract_mesh(field, 64)
+    r = np.linalg.norm(verts * (2.0 / 64) - 1.0, axis=1)
+    np.testing.assert_allclose(np.median(r), 0.8, atol=0.02)
+
+    # a second evaluation starts at the escalated budget: no re-run
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        Reconstructor.evaluate_field(shim, z, z, calib, 64)
+    assert shim.last_grid_diag["overflow_subcells"] == 0
+
+    # with escalation disabled, the same budgets under-refine and warn
+    shim2 = Shim()
+    shim2._esc_budgets = {}
+    shim2.opt = Options(num_refine_cells=64, num_refine_subcells=64,
+                        octree_levels=3, auto_escalate_budget=False)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        Reconstructor.evaluate_field(shim2, z, z, calib, 64)
+    assert any("overflow" in str(w.message) for w in caught)

@@ -95,6 +95,32 @@ def test_checkpoint_roundtrip_and_opt_restore(synth_root, tmp_path):
     assert all(np.allclose(a, b) for a, b in zip(flat_a, flat_b))
 
 
+def test_evaluate_checkpoints_small_dataset(synth_root, tmp_path):
+    """An eval set SMALLER than batch_size must still evaluate every item
+    and produce a finite metric (previously zero batches -> np.mean([])
+    -> NaN silently written to the eval .npy).  Reference eval.py:157-206
+    evaluates every item."""
+    from rgbd_pifuhd_tpu.train.loop import (
+        build_multires, evaluate_checkpoints, init_multires_params)
+    from rgbd_pifuhd_tpu.data.datasets import TrainDataset
+    from rgbd_pifuhd_tpu.utils import checkpoint as ckpt
+
+    opt = make_opt(synth_root, str(tmp_path))
+    opt.batch_size = 32  # larger than the 2-subject synthetic eval set
+    model = build_multires(opt)
+    params = init_multires_params(opt, model, TrainDataset(opt)[0])
+    ckpt.save_checkpoint(
+        ckpt.epoch_path(opt.checkpoints_path, opt.name, 0),
+        params, opt, epoch=0)
+
+    results = evaluate_checkpoints(opt)
+    assert 0 in results
+    assert np.isfinite(results[0]), results
+    errs = np.load(os.path.join(opt.checkpoints_path,
+                                "t_eval_epoch_0.npy"))
+    assert len(errs) >= 1 and np.isfinite(errs).all()
+
+
 def test_metrics():
     import jax.numpy as jnp
     from rgbd_pifuhd_tpu.utils.metrics import compute_acc, chamfer_l2
