@@ -20,7 +20,7 @@ import os
 
 import numpy as np
 
-from ..recon.mesh import load_obj, compute_vertex_normals
+from ..recon.mesh import load_obj_mtl, compute_vertex_normals
 from .render import compute_prt, sh_shade, rotate_sh_coeffs
 from .synthetic import rasterize_ortho, rotation_y
 
@@ -52,7 +52,8 @@ def render_subject(
     """
     import cv2
 
-    verts, faces, _ = load_obj(obj_path)
+    mesh = load_obj_mtl(obj_path)
+    verts, faces = mesh["verts"], mesh["faces"]
     verts = verts.astype(np.float64)
     # reference approach (render_data.py:184-191): the mesh is NOT moved;
     # the camera is built around it — PARAM stores center (bbox middle) and
@@ -85,16 +86,17 @@ def render_subject(
             uv = np.diag([1.0 / (load_size // 2)] * 3 + [1.0])
             calib = uv @ intr @ extrinsic
 
-            out = rasterize_ortho(verts, faces, size, calib)
-            if prt is not None and out["mask"].any():
-                # PRT diffuse shading: per-vertex transport . rotated env
+            shade_v = None
+            if prt is not None:
+                # PRT diffuse shading: per-vertex transport . rotated env,
+                # barycentrically interpolated by the rasterizer (the
+                # reference's prt.fs vertex-PRT pipeline)
                 env_rot = rotate_sh_coeffs(_default_sh_env(), R)
                 shade_v = np.clip(sh_shade(prt, env_rot) / np.pi, 0.0, 1.5)
-                # re-rasterize color with per-vertex shading via normals
-                # buffer: approximate by modulating the rgb with the mean
-                # shading of visible surface (cheap, view-consistent)
-                out["rgb"] = np.clip(
-                    out["rgb"] * float(np.median(shade_v)), 0, 1)
+            out = rasterize_ortho(
+                verts, faces, size, calib, vert_shade=shade_v,
+                uvs=mesh["uvs"], face_uvs=mesh["face_uvs"],
+                texture=mesh["texture"], face_albedo=mesh["face_albedo"])
 
             tag = f"{yaw}_{pitch}_00"
             cv2.imwrite(os.path.join(root, "RENDER", subject, f"{tag}.jpg"),

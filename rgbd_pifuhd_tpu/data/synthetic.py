@@ -104,7 +104,11 @@ def _vertex_normals(verts: np.ndarray, faces: np.ndarray,
 
 def rasterize_ortho(verts: np.ndarray, faces: np.ndarray, size: int,
                     calib: np.ndarray, albedo=(0.8, 0.65, 0.55),
-                    vert_shade: np.ndarray | None = None):
+                    vert_shade: np.ndarray | None = None,
+                    uvs: np.ndarray | None = None,
+                    face_uvs: np.ndarray | None = None,
+                    texture: np.ndarray | None = None,
+                    face_albedo: np.ndarray | None = None):
     """Orthographic z-buffer rasterizer.
 
     Prefers the native C++ kernel (native/raster.cc: parallel two-pass,
@@ -117,6 +121,13 @@ def rasterize_ortho(verts: np.ndarray, faces: np.ndarray, size: int,
     Args:
         vert_shade: optional ``[V]`` or ``[V, 3]`` per-vertex shading
             multiplier (e.g. PRT diffuse), barycentrically interpolated.
+        uvs / face_uvs / texture / face_albedo: UV-mapped albedo sampling
+            (reference prt.fs:24-31 AlbedoMap): ``uvs [T, 2]`` OBJ vt
+            coords (origin bottom-left), ``face_uvs [F, 3]`` indices into
+            uvs with -1 marking untextured faces, ``texture [th, tw, 3]``
+            float RGB in [0,1] sampled bilinearly with repeat wrap,
+            ``face_albedo [F, 3]`` per-face flat Kd used where no texture
+            applies.  All optional (load_obj_mtl produces them).
 
     Returns dict with rgb [H,W,3] float[0,1], mask [H,W] bool,
     zbuf [H,W] float (NDC z, +inf where empty), normal [H,W,3] view-space.
@@ -127,7 +138,8 @@ def rasterize_ortho(verts: np.ndarray, faces: np.ndarray, size: int,
     lib = load_raster()
     if lib is None:
         return _rasterize_ortho_numpy(verts, faces, size, calib, albedo,
-                                      vert_shade)
+                                      vert_shade, uvs, face_uvs, texture,
+                                      face_albedo)
     verts = np.asarray(verts, np.float64)
     faces_c = np.ascontiguousarray(faces, dtype=np.int32)
     ndc = verts @ calib[:3, :3].T + calib[:3, 3]
@@ -140,41 +152,65 @@ def rasterize_ortho(verts: np.ndarray, faces: np.ndarray, size: int,
     light /= np.linalg.norm(light)
     light = np.ascontiguousarray(light)
 
+    dp = ctypes.POINTER(ctypes.c_double)
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int32)
+
     shade_ch = 0
-    vs_ptr = ctypes.POINTER(ctypes.c_double)()
+    vs_ptr = dp()
     if vert_shade is not None:
         vs = np.ascontiguousarray(np.asarray(vert_shade, np.float64))
         shade_ch = 1 if vs.ndim == 1 else vs.shape[1]
-        vs_ptr = vs.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        vs_ptr = vs.ctypes.data_as(dp)
+
+    uv_ptr, fuv_ptr, tex_ptr, falb_ptr = dp(), ip(), fp(), dp()
+    th = tw = 0
+    if texture is not None and uvs is not None and face_uvs is not None:
+        uvs_c = np.ascontiguousarray(uvs, np.float64)
+        fuv_c = np.ascontiguousarray(face_uvs, np.int32)
+        tex_c = np.ascontiguousarray(texture, np.float32)
+        th, tw = tex_c.shape[:2]
+        uv_ptr = uvs_c.ctypes.data_as(dp)
+        fuv_ptr = fuv_c.ctypes.data_as(ip)
+        tex_ptr = tex_c.ctypes.data_as(fp)
+    if face_albedo is not None:
+        falb_c = np.ascontiguousarray(face_albedo, np.float64)
+        falb_ptr = falb_c.ctypes.data_as(dp)
 
     zbuf = np.empty((size, size), np.float32)
     nbuf = np.empty((size, size, 3), np.float32)
     rgb = np.empty((size, size, 3), np.float32)
     mask = np.empty((size, size), np.uint8)
-    dp = ctypes.POINTER(ctypes.c_double)
     rc = lib.raster_ortho(
         px.ctypes.data_as(dp), py.ctypes.data_as(dp), pz.ctypes.data_as(dp),
         ctypes.c_int64(len(verts)), vn.ctypes.data_as(dp), vs_ptr,
         ctypes.c_int(shade_ch),
-        faces_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        faces_c.ctypes.data_as(ip),
         ctypes.c_int64(len(faces_c)), ctypes.c_int64(size),
         albedo_c.ctypes.data_as(dp), light.ctypes.data_as(dp),
-        zbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        nbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        uv_ptr, fuv_ptr, tex_ptr, ctypes.c_int64(th), ctypes.c_int64(tw),
+        falb_ptr,
+        zbuf.ctypes.data_as(fp),
+        nbuf.ctypes.data_as(fp),
+        rgb.ctypes.data_as(fp),
         mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         0,
     )
     if rc != 0:
         return _rasterize_ortho_numpy(verts, faces, size, calib, albedo,
-                                      vert_shade)
+                                      vert_shade, uvs, face_uvs, texture,
+                                      face_albedo)
     return {"rgb": rgb.astype(np.float64), "mask": mask.astype(bool),
             "zbuf": zbuf.astype(np.float64), "normal": nbuf.astype(np.float64)}
 
 
 def _rasterize_ortho_numpy(verts: np.ndarray, faces: np.ndarray, size: int,
                            calib: np.ndarray, albedo=(0.8, 0.65, 0.55),
-                           vert_shade: np.ndarray | None = None):
+                           vert_shade: np.ndarray | None = None,
+                           uvs: np.ndarray | None = None,
+                           face_uvs: np.ndarray | None = None,
+                           texture: np.ndarray | None = None,
+                           face_albedo: np.ndarray | None = None):
     """Vectorized NumPy fallback of :func:`rasterize_ortho`.
 
     ``calib`` maps world -> NDC ([-1, 1], y up); pixels follow the
@@ -302,7 +338,38 @@ def _rasterize_ortho_numpy(verts: np.ndarray, faces: np.ndarray, size: int,
          + w2[:, None] * vn[tri[:, 2]])
     n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
     shade = np.clip(np.abs(n @ light), 0.15, 1.0)[:, None]
-    col = albedo * shade
+    alb = np.broadcast_to(albedo, (len(fid), 3)).copy()
+    if face_albedo is not None:
+        alb = np.asarray(face_albedo, np.float64)[fid]
+    if texture is not None and uvs is not None and face_uvs is not None:
+        fuv = np.asarray(face_uvs, np.int64)[fid]          # [P, 3]
+        textured = (fuv >= 0).all(axis=1)
+        if textured.any():
+            tex = np.asarray(texture, np.float64)
+            th, tw = tex.shape[:2]
+            uvt = np.asarray(uvs, np.float64)
+            fu = fuv[textured]
+            u = (w0[textured] * uvt[fu[:, 0], 0]
+                 + w1[textured] * uvt[fu[:, 1], 0]
+                 + w2[textured] * uvt[fu[:, 2], 0])
+            vv = (w0[textured] * uvt[fu[:, 0], 1]
+                  + w1[textured] * uvt[fu[:, 1], 1]
+                  + w2[textured] * uvt[fu[:, 2], 1])
+            u -= np.floor(u)                               # repeat wrap
+            vv -= np.floor(vv)
+            fx_ = u * (tw - 1)
+            fy_ = (1.0 - vv) * (th - 1)                    # vt is y-up
+            ix = np.clip(fx_.astype(np.int64), 0, max(tw - 2, 0))
+            iy = np.clip(fy_.astype(np.int64), 0, max(th - 2, 0))
+            du = (fx_ - ix)[:, None]
+            dv = (fy_ - iy)[:, None]
+            x2 = np.minimum(ix + 1, tw - 1)
+            y2 = np.minimum(iy + 1, th - 1)
+            alb[textured] = ((1 - dv) * ((1 - du) * tex[iy, ix]
+                                         + du * tex[iy, x2])
+                             + dv * ((1 - du) * tex[y2, ix]
+                                     + du * tex[y2, x2]))
+    col = alb * shade
     if vert_shade is not None:
         vs = np.asarray(vert_shade, np.float64)
         if vs.ndim == 1:

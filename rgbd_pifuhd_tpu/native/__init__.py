@@ -149,6 +149,11 @@ def load_raster():
                 ctypes.c_int64,                    # size
                 ctypes.POINTER(ctypes.c_double),  # albedo [3]
                 ctypes.POINTER(ctypes.c_double),  # light [3]
+                ctypes.POINTER(ctypes.c_double),  # uvs [T,2] (nullable)
+                ctypes.POINTER(ctypes.c_int32),   # face_uvs [F,3] (nullable)
+                ctypes.POINTER(ctypes.c_float),   # tex [th,tw,3] (nullable)
+                ctypes.c_int64, ctypes.c_int64,    # th, tw
+                ctypes.POINTER(ctypes.c_double),  # face_albedo (nullable)
                 ctypes.POINTER(ctypes.c_float),   # zbuf
                 ctypes.POINTER(ctypes.c_float),   # nbuf
                 ctypes.POINTER(ctypes.c_float),   # rgb

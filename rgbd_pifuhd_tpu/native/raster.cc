@@ -35,12 +35,20 @@ extern "C" {
 // vn: [V*3] vertex normals (view space).  vshade: optional per-vertex
 // shading, [V] (shade_ch=1) or [V*3] (shade_ch=3); pass nullptr to skip.
 // faces: [F*3] int32.  albedo/light: [3].
+// Texture path (all nullable; parity with the reference's per-material
+// albedo sampling, traindata prt.fs:24-31):
+//   uvs [T*2] (OBJ vt: origin bottom-left), face_uvs [F*3] indices into
+//   uvs (-1 = face untextured), tex [th*tw*3] float RGB in [0,1],
+//   face_albedo [F*3] per-face flat Kd fallback.
 // Outputs (caller-allocated): zbuf [size^2] (filled +inf where empty),
 // nbuf [size^2*3], rgb [size^2*3] (filled 1 where empty), mask [size^2].
 int raster_ortho(const double* px, const double* py, const double* pz,
                  int64_t V, const double* vn, const double* vshade,
                  int shade_ch, const int32_t* faces, int64_t F, int64_t size,
-                 const double* albedo, const double* light, float* zbuf,
+                 const double* albedo, const double* light,
+                 const double* uvs, const int32_t* face_uvs,
+                 const float* tex, int64_t th, int64_t tw,
+                 const double* face_albedo, float* zbuf,
                  float* nbuf, float* rgb, uint8_t* mask, int n_threads) {
   if (n_threads <= 0) {
     n_threads = (int)std::thread::hardware_concurrency();
@@ -170,8 +178,40 @@ int raster_ortho(const double* px, const double* py, const double* pz,
       nbuf[p * 3 + 2] = (float)nz;
       double shade = std::fabs(nx * lx + ny * ly + nz * lz);
       shade = shade < 0.15 ? 0.15 : (shade > 1.0 ? 1.0 : shade);
-      double col[3] = {albedo[0] * shade, albedo[1] * shade,
-                       albedo[2] * shade};
+      double alb[3] = {albedo[0], albedo[1], albedo[2]};
+      if (face_albedo) {
+        alb[0] = face_albedo[f * 3];
+        alb[1] = face_albedo[f * 3 + 1];
+        alb[2] = face_albedo[f * 3 + 2];
+      }
+      if (tex && uvs && face_uvs) {
+        const int32_t t0 = face_uvs[f * 3], t1 = face_uvs[f * 3 + 1],
+                      t2 = face_uvs[f * 3 + 2];
+        if (t0 >= 0 && t1 >= 0 && t2 >= 0) {
+          double u = w0 * uvs[t0 * 2] + w1 * uvs[t1 * 2] + w2 * uvs[t2 * 2];
+          double vv = w0 * uvs[t0 * 2 + 1] + w1 * uvs[t1 * 2 + 1] +
+                      w2 * uvs[t2 * 2 + 1];
+          u -= std::floor(u);                 // GL_REPEAT wrap
+          vv -= std::floor(vv);
+          // vt origin is bottom-left; image row 0 is the top
+          const double fx_ = u * (double)(tw - 1);
+          const double fy_ = (1.0 - vv) * (double)(th - 1);
+          const int64_t ix = clamp64((int64_t)fx_, 0, tw - 2 > 0 ? tw - 2 : 0);
+          const int64_t iy = clamp64((int64_t)fy_, 0, th - 2 > 0 ? th - 2 : 0);
+          const double du = fx_ - (double)ix, dv = fy_ - (double)iy;
+          const int64_t x2 = tw > 1 ? ix + 1 : ix;
+          const int64_t y2 = th > 1 ? iy + 1 : iy;
+          for (int c = 0; c < 3; ++c) {
+            const double c00 = tex[(iy * tw + ix) * 3 + c];
+            const double c01 = tex[(iy * tw + x2) * 3 + c];
+            const double c10 = tex[(y2 * tw + ix) * 3 + c];
+            const double c11 = tex[(y2 * tw + x2) * 3 + c];
+            alb[c] = (1 - dv) * ((1 - du) * c00 + du * c01) +
+                     dv * ((1 - du) * c10 + du * c11);
+          }
+        }
+      }
+      double col[3] = {alb[0] * shade, alb[1] * shade, alb[2] * shade};
       if (vshade) {
         for (int c = 0; c < 3; ++c) {
           const int sc = shade_ch == 3 ? c : 0;

@@ -15,6 +15,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 
@@ -91,6 +93,117 @@ def load_obj(path: str):
     f = np.asarray(faces, dtype=np.int32)
     c = np.asarray(colors, dtype=np.float32) if colors else None
     return v, f, c
+
+
+def load_obj_mtl(path: str):
+    """OBJ reader with UV / material support (the textured-subject loader,
+    reference traindata/lib/renderer/mesh.py:110-221 load_obj_mesh_mtl).
+
+    Parses ``vt`` texture coords, ``mtllib``/``usemtl`` material switches,
+    and the referenced .mtl files (``newmtl`` / ``Kd`` / ``map_Kd``).
+    Returns a dict:
+
+        verts       [V, 3] float32
+        faces       [F, 3] int32
+        uvs         [T, 2] float32 (or None when the OBJ has no vt)
+        face_uvs    [F, 3] int32 indices into uvs; -1 = face has no UVs
+        face_albedo [F, 3] float64 per-face flat Kd (fallback shading for
+                    faces without a texture; default 0.8/0.65/0.55)
+        texture     [th, tw, 3] float32 in [0,1] RGB, or None — the first
+                    map_Kd image found (the reference renders one albedo
+                    map per material group, prt.fs:24-31; subjects ship a
+                    single skin texture)
+
+    Negative OBJ indices and quad faces (fan triangulation) are handled.
+    """
+    obj_dir = os.path.dirname(os.path.abspath(path))
+    default_kd = (0.8, 0.65, 0.55)
+    materials: dict[str, dict] = {}
+
+    def parse_mtl(mtl_path: str) -> None:
+        if not os.path.exists(mtl_path):
+            return
+        cur = None
+        with open(mtl_path) as fh:
+            for line in fh:
+                parts = line.split()
+                if not parts:
+                    continue
+                if parts[0] == "newmtl":
+                    cur = parts[1] if len(parts) > 1 else ""
+                    materials.setdefault(cur, {"Kd": default_kd,
+                                               "map_Kd": None})
+                elif parts[0] == "Kd" and cur is not None:
+                    materials[cur]["Kd"] = tuple(
+                        float(x) for x in parts[1:4])
+                elif parts[0] == "map_Kd" and cur is not None:
+                    materials[cur]["map_Kd"] = os.path.join(
+                        obj_dir, parts[-1])
+
+    verts, uvs, faces, face_uvs, face_mats = [], [], [], [], []
+    cur_mat = None
+    with open(path) as fh:
+        for line in fh:
+            parts = line.split()
+            if not parts:
+                continue
+            tag = parts[0]
+            if tag == "mtllib":
+                parse_mtl(os.path.join(obj_dir, parts[-1]))
+            elif tag == "usemtl":
+                cur_mat = parts[1] if len(parts) > 1 else None
+            elif tag == "v":
+                verts.append([float(x) for x in parts[1:4]])
+            elif tag == "vt":
+                uvs.append([float(parts[1]), float(parts[2])])
+            elif tag == "f":
+                vi, ti = [], []
+                for p in parts[1:]:
+                    comps = p.split("/")
+                    i = int(comps[0])
+                    vi.append(i - 1 if i > 0 else len(verts) + i)
+                    if len(comps) > 1 and comps[1]:
+                        j = int(comps[1])
+                        ti.append(j - 1 if j > 0 else len(uvs) + j)
+                    else:
+                        ti.append(-1)
+                for k in range(1, len(vi) - 1):
+                    faces.append([vi[0], vi[k], vi[k + 1]])
+                    face_uvs.append([ti[0], ti[k], ti[k + 1]])
+                    face_mats.append(cur_mat)
+
+    texture = None
+    tex_mat = None
+    for name, m in materials.items():
+        if m["map_Kd"] and os.path.exists(m["map_Kd"]):
+            try:
+                import cv2
+                img = cv2.imread(m["map_Kd"])
+                if img is not None:
+                    texture = img[:, :, ::-1].astype(np.float32) / 255.0
+                    tex_mat = name
+                    break
+            except ImportError:
+                pass
+
+    F = len(faces)
+    face_albedo = np.empty((F, 3), np.float64)
+    fuv = np.asarray(face_uvs, np.int32).reshape(F, 3)
+    for i, mat in enumerate(face_mats):
+        kd = materials.get(mat, {}).get("Kd", default_kd)
+        face_albedo[i] = kd
+        # faces of a DIFFERENT textured material (multi-texture OBJ) fall
+        # back to their flat Kd: single-texture support, documented above
+        if texture is not None and mat != tex_mat:
+            fuv[i] = -1
+    return {
+        "verts": np.asarray(verts, np.float32),
+        "faces": np.asarray(faces, np.int32).reshape(F, 3),
+        "uvs": np.asarray(uvs, np.float32) if uvs else None,
+        "face_uvs": fuv,
+        "face_albedo": face_albedo,
+        "texture": texture,
+    }
 
 
 def connected_components(n_verts: int, faces: np.ndarray) -> np.ndarray:
