@@ -9,10 +9,14 @@ grid evaluation, device->host sparse transfer, sparse-direct marching
 tetrahedra, fd-normal vertex coloring, OBJ write — not stitched components.
 
 The model is the untrained flagship architecture; an untrained field is
-empty, so the query blends the model's occupancy at 1e-6 weight with an
-analytic human-scale capsule: FULL flagship compute runs per query point
-(the blend is not DCE-able), while marching/coloring/IO see the realistic
-~1M-vert surface a trained model would produce.
+empty, so the query blends the model's occupancy at 1e-6 weight with a
+REAL TRAINED field — the committed trained-tiny two-level model
+(assets/bench_tiny, scripts/train_bench_tiny.py) evaluated on the same
+synthetic capsule subject whose flagship-resolution renders feed the
+encoders: FULL flagship compute runs per query point (the blend is not
+DCE-able), while marching/coloring/IO see the realistic surface an actual
+trained model produces.  Without the checkpoint the surface falls back to
+an analytic capsule.
 
 Also reported: pipelined multi-subject throughput (gen_mesh_many overlaps
 host marching with the next subject's device evaluation) and raw grid-query
@@ -54,6 +58,86 @@ def run_with_retry(fn, attempts: int = 3, label: str = ""):
             time.sleep(5.0 * (k + 1))
 
 
+def _tiny_trained_field(repo: str):
+    """Load the committed trained-tiny checkpoint and the capsule subject.
+
+    Returns ``(tiny_occ, data)`` — a world-space occupancy closure over the
+    TRAINED tiny two-level model (scripts/train_bench_tiny.py) plus the
+    flagship-resolution data dict of the same synthetic capsule subject —
+    or None when the checkpoint is absent (analytic-capsule fallback).
+    Both views share the subject's world frame, so the trained field and
+    the flagship lattice align exactly.
+    """
+    ckpt_path = os.path.join(repo, "assets", "bench_tiny", "ckpt")
+    if not os.path.exists(ckpt_path):
+        return None
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "train_bench_tiny",
+        os.path.join(repo, "scripts", "train_bench_tiny.py"))
+    tbt = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tbt)
+
+    import jax.numpy as jnp
+    from rgbd_pifuhd_tpu.data.datasets import TrainDataset
+    from rgbd_pifuhd_tpu.data.synthetic import generate_synthetic_dataset
+    from rgbd_pifuhd_tpu.models import MultiResPIFu
+    from rgbd_pifuhd_tpu.utils import checkpoint as ckpt_mod
+    from rgbd_pifuhd_tpu.utils.options import Options
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    tiny_root = tbt.ensure_tiny_dataset(
+        os.path.join(base, "rgbd_bench_tiny_data"))
+    state = ckpt_mod.load_checkpoint(ckpt_path)
+    t_opt = Options.from_dict(state["opt"])
+    tiny_model = MultiResPIFu(cfg=t_opt.netMR, cfg_global=t_opt.netG)
+    import jax
+    import numpy as _np
+    tiny_params = jax.tree.map(  # stored float16 -> compute float32
+        lambda x: _np.asarray(x, _np.float32)
+        if getattr(x, "dtype", None) == _np.float16 else x,
+        state["params"])
+    item = TrainDataset(tbt.tiny_options(tiny_root), load_mesh=False,
+                        seed=0)[0]
+    timg = jnp.asarray(item["img_512"])[None]
+    tcalib = jnp.asarray(item["calib"], jnp.float32)
+    tg = tiny_model.apply(tiny_params, timg, last_only=True,
+                          method=MultiResPIFu.filter_global)
+    tl = tiny_model.apply(tiny_params, timg[None], tg, last_only=True,
+                          method=MultiResPIFu.filter_local)
+
+    # The trained field is only meaningful inside its training sampling
+    # box (TRAIN_B_MIN/B_MAX — outside it supervision is zero and a
+    # single-view PIFu extrudes along z); the reference reconstructs
+    # inside the same box (EvalDataset B_MIN/B_MAX, reconstruction
+    # create_grid), so the bench windows the field identically.
+    bmin = jnp.asarray(item["b_min"], jnp.float32)
+    bmax = jnp.asarray(item["b_max"], jnp.float32)
+
+    def tiny_occ(world_pts):
+        out = tiny_model.apply(
+            tiny_params, tl, tg, world_pts[None, None],
+            tcalib[None, None], tcalib[None],
+            method=MultiResPIFu.query)
+        inside = jnp.all((world_pts >= bmin) & (world_pts <= bmax),
+                         axis=-1)
+        return jnp.where(inside, out.preds[0, :, 0], 0.0)
+
+    # flagship-resolution images of the SAME subject (1024^2 render: the
+    # capsule fills the NDC box like a real full-frame subject)
+    flag_root = os.path.join(base, "rgbd_bench_flag_data")
+    if not os.path.isdir(os.path.join(flag_root, "RENDER", "capsule")):
+        generate_synthetic_dataset(flag_root, subjects=("capsule",),
+                                   size=1024, load_size=1024, seed=0)
+    fopt = Options(dataroot=flag_root, load_size=1024, load_size_big=1024,
+                   load_size_local=512, num_sample_inout=8, sigma=8.0)
+    fitem = TrainDataset(fopt, load_mesh=False, seed=0)[0]
+    data = {"img": jnp.asarray(fitem["img"]),
+            "img_512": jnp.asarray(fitem["img_512"])[None],
+            "calib": jnp.asarray(fitem["calib"], jnp.float32)}
+    return tiny_occ, data
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -71,11 +155,22 @@ def main():
     cfg_l = dataclasses.replace(cfg_l, compute_dtype="bfloat16")
     model = MultiResPIFu(cfg=cfg_l, cfg_global=cfg_g)
 
+    repo = os.path.dirname(os.path.abspath(__file__))
+    tiny = run_with_retry(lambda: _tiny_trained_field(repo),
+                          label="trained-tiny field setup")
+
     rng = np.random.default_rng(0)
     f32 = np.float32
-    img_g = jnp.asarray(rng.standard_normal((1, 512, 512, 6)).astype(f32))
-    img_l = jnp.asarray(rng.standard_normal((1, 1024, 1024, 6)).astype(f32))
-    calib = jnp.eye(4, dtype=jnp.float32)
+    if tiny is not None:
+        tiny_occ, data0 = tiny
+        img_l, img_g = data0["img"], data0["img_512"]
+        calib = data0["calib"]
+    else:
+        img_g = jnp.asarray(
+            rng.standard_normal((1, 512, 512, 6)).astype(f32))
+        img_l = jnp.asarray(
+            rng.standard_normal((1, 1024, 1024, 6)).astype(f32))
+        calib = jnp.eye(4, dtype=jnp.float32)
 
     params = run_with_retry(
         lambda: jax.jit(model.init)(
@@ -86,21 +181,27 @@ def main():
         label="model.init")
 
     def capsule_occ(pts):
-        """Human-scale analytic surface (vertical capsule, NDC coords)."""
+        """Human-scale analytic surface (vertical capsule, NDC coords) —
+        fallback when the trained-tiny checkpoint is absent."""
         dz = jnp.clip(jnp.abs(pts[:, 2]) - 0.5, 0.0, None)
         d = jnp.sqrt(pts[:, 0] ** 2 + pts[:, 1] ** 2 + dz ** 2)
         return jax.nn.sigmoid((0.36 - d) * 170.0)
 
+    surface_occ = tiny_occ if tiny is not None else capsule_occ
+
     class BenchReconstructor(Reconstructor):
-        """Flagship query blended (1e-6) with the analytic capsule: full
-        model compute per point, trained-model-like surface workload."""
+        """Flagship query blended (1e-6) with the surface field: FULL
+        flagship compute runs per query point (the blend is not
+        DCE-able), while the iso-surface comes from the TRAINED tiny
+        two-level model's field (assets/bench_tiny, world coords shared
+        with the flagship calib) — or the analytic capsule fallback."""
 
         def __init__(self, model, params, opt):
             super().__init__(model, params, opt)
             inner = self._query
 
             def blended(world_pts, *args):
-                return (capsule_occ(world_pts)
+                return (surface_occ(world_pts)
                         + 1e-6 * (inner(world_pts, *args) - 0.5))
 
             self._query = blended
@@ -216,6 +317,8 @@ def main():
         "transfer_mb": round(xfer_mb, 2),
         "grid_query_pts_per_sec_per_chip": round(pps),
         "mesh_verts": int(len(r["verts"])),
+        "surface": ("trained-tiny two-level field (assets/bench_tiny)"
+                    if tiny is not None else "analytic capsule (fallback)"),
         "device": str(jax.devices()[0]),
         "note": ("headline = one continuous gen_mesh (encode + sparse "
                  "512^3 eval + sparse-direct marching + fd-normal coloring "

@@ -203,5 +203,20 @@ def load_meshio():
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int64,
             ]
+            lib.obj_format_faces.restype = ctypes.c_int
+            lib.obj_format_faces.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_char)),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.obj_write_with_faces.restype = ctypes.c_int
+            lib.obj_write_with_faces.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_char), ctypes.c_int64,
+            ]
+            lib.meshio_free.argtypes = [ctypes.c_void_p]
         _CACHE["meshio"] = lib
         return lib

@@ -546,6 +546,45 @@ def _three_phase_p3(query_fn, res, K2, cells_per_chunk, pack_bits,
     return refined[:K2]
 
 
+@jax.jit
+def pack_sparse3(corner_q, top8, sub_q, top4, refined, diag):
+    """Pack the three-phase result into THREE device arrays.
+
+    Each ``np.asarray`` pull over the tunneled host link pays a ~20-40 ms
+    round trip; the unpacked result needs 5 array pulls + up to 6 scalar
+    diag reads (~9 RTTs).  Packed: one uint8 blob (corner + sub lattice +
+    refined blocks), one int32 id vector (top8 ++ top4), one float32 diag
+    vector — 3 transfers, byte-identical content.  Hosts unpack with
+    zero-copy slices (``unpack_sparse3``).
+    """
+    data = jnp.concatenate(
+        [corner_q.reshape(-1), sub_q.reshape(-1), refined.reshape(-1)])
+    ids = jnp.concatenate(
+        [top8.astype(jnp.int32), top4.astype(jnp.int32)])
+    dvec = jnp.stack([
+        diag["kth_activity"].astype(jnp.float32),
+        diag["n_active"].astype(jnp.float32),
+        diag["budget_cells"].astype(jnp.float32),
+        diag["kth_subactivity"].astype(jnp.float32),
+        diag["n_active_subcells"].astype(jnp.float32),
+        diag["budget_subcells"].astype(jnp.float32),
+    ])
+    return data, ids, dvec
+
+
+def unpack_sparse3(data: np.ndarray, ids: np.ndarray, resolution: int,
+                   K1: int, K2: int, factor: int = 8, pack_bits: int = 4):
+    """Host-side zero-copy unpacking of ``pack_sparse3``'s blobs."""
+    n1 = resolution // factor + 1
+    n_corner = n1 ** 3
+    n_sub = K1 * 27
+    packed_w = (factor // 2) ** 3 // (8 // pack_bits)
+    corner = data[:n_corner]
+    sub_q = data[n_corner:n_corner + n_sub].reshape(K1, 27)
+    refined = data[n_corner + n_sub:].reshape(K2, packed_w)
+    return corner, ids[:K1], sub_q, ids[K1:], refined
+
+
 def sparse_scan_cells(corner_vals, top_idx, resolution: int,
                       factor: int = 8, pack_bits: int = 4,
                       band_scale: float = 4.0):

@@ -68,6 +68,53 @@ def save_obj_with_color(path: str, verts: np.ndarray, faces: np.ndarray,
         fh.write("\n".join(lines) + "\n")
 
 
+def format_faces_block(faces: np.ndarray):
+    """Pre-format the OBJ face block (flipped winding) into a native text
+    buffer WITHOUT writing it — callers run this while the device is still
+    computing vertex colors, then stream the finished file with
+    ``save_obj_with_color_prefaced``.  Returns an opaque blob or None when
+    the native library is unavailable (fall back to save_obj_with_color).
+    """
+    from ..native import load_meshio
+    lib = load_meshio()
+    if lib is None or getattr(lib, "obj_format_faces", None) is None:
+        return None
+    import ctypes
+
+    f = np.ascontiguousarray(faces, np.int32)
+    buf = ctypes.POINTER(ctypes.c_char)()
+    ln = ctypes.c_int64()
+    rc = lib.obj_format_faces(
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(len(f)), ctypes.byref(buf), ctypes.byref(ln))
+    if rc != 0:
+        return None
+    return (lib, buf, ln)
+
+
+def save_obj_with_color_prefaced(path: str, verts: np.ndarray,
+                                 colors: np.ndarray, faces_blob) -> bool:
+    """Write an OBJ from vertex data + a preformatted face blob
+    (``format_faces_block``); byte-identical to ``save_obj_with_color``.
+    Frees the blob.  Returns False on failure (blob still freed)."""
+    lib, buf, ln = faces_blob
+    import ctypes
+
+    v = np.ascontiguousarray(verts, np.float32)
+    c = (np.ascontiguousarray(colors, np.float32)
+         if colors is not None else None)
+    try:
+        rc = lib.obj_write_with_faces(
+            path.encode(),
+            v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            c.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            if c is not None else None,
+            ctypes.c_int64(len(v)), buf, ln)
+    finally:
+        lib.meshio_free(buf)
+    return rc == 0
+
+
 def load_obj(path: str):
     """Minimal OBJ reader -> (verts [V,3], faces [F,3], colors or None).
 

@@ -306,6 +306,7 @@ class Reconstructor:
         if levels == 3 and resolution % 8 == 0:
             sub_budget = esc.get("subcells") or min(
                 getattr(self.opt, "num_refine_subcells", 65536), budget * 8)
+            from .grid import pack_sparse3, unpack_sparse3
             while True:
                 corner, top8, sub_q, top4, refined, diag = (
                     eval_grid_three_phase_sparse(
@@ -314,7 +315,20 @@ class Reconstructor:
                         factor=8, budget_cells=budget,
                         budget_subcells=sub_budget,
                     ))
-                d = self._diag_host(diag)
+                # pack on device: 3 host pulls instead of ~9 round trips
+                data_dev, ids_dev, dvec_dev = pack_sparse3(
+                    corner, top8, sub_q, top4, refined, diag)
+                dvec = np.asarray(dvec_dev)
+                d = {"kth_activity": float(dvec[0]),
+                     "n_active": int(dvec[1]),
+                     "budget_cells": int(dvec[2]),
+                     "kth_subactivity": float(dvec[3]),
+                     "n_active_subcells": int(dvec[4]),
+                     "budget_subcells": int(dvec[5])}
+                d["overflow_cells"] = max(
+                    0, d["n_active"] - d["budget_cells"])
+                d["overflow_subcells"] = max(
+                    0, d["n_active_subcells"] - d["budget_subcells"])
                 if not auto:
                     break
                 grew = False
@@ -340,9 +354,12 @@ class Reconstructor:
                       f"{d.get('n_active_subcells', 0)} sub-cells)")
                 esc["cells"], esc["subcells"] = budget, sub_budget
             self._check_budget(d)
-            corner, top8, sub_q, top4, refined = (
-                np.asarray(corner), np.asarray(top8), np.asarray(sub_q),
-                np.asarray(top4), np.asarray(refined))
+            n3 = n ** 3
+            K1 = min(budget, n3)
+            K2 = min(sub_budget, K1 * 8)
+            corner, top8, sub_q, top4, refined = unpack_sparse3(
+                np.asarray(data_dev), np.asarray(ids_dev), resolution,
+                K1, K2)
             cells, _marks = sparse_scan_cells(corner, top8, resolution,
                                               factor=8)
             return corner, top8, sub_q, top4, refined, cells
@@ -444,7 +461,7 @@ class Reconstructor:
     # bounded peak memory (~1 GB of MLP temps per chunk).
     _COLOR_CHUNK = 65536
 
-    def _chunked(self, fn_many, verts: np.ndarray) -> np.ndarray:
+    def _chunked_start(self, fn_many, verts: np.ndarray):
         """Chunks go through jitted lax.map calls in up to 4 macro-groups:
         group g+1's host->device upload overlaps group g's device compute
         and earlier groups' down-transfers (jax async dispatch), hiding
@@ -457,7 +474,7 @@ class Reconstructor:
         from ..native import load_meshio
         V = len(verts)
         if V == 0:
-            return np.zeros((0, 3), np.float32)
+            return lambda: np.zeros((0, 3), np.float32)
         chunk = self._COLOR_CHUNK
         K = max(1, -(-V // chunk))
         if K > 4:
@@ -488,21 +505,37 @@ class Reconstructor:
             g = K // 4
             parts = [fn_many(jnp.asarray(vqs[i * g:(i + 1) * g]),
                              lo_d, scale_d) for i in range(4)]
-            res = np.concatenate([np.asarray(p) for p in parts], axis=0)
         else:
-            res = np.asarray(fn_many(jnp.asarray(vqs), lo_d, scale_d))
-        out = res.reshape(-1, 3)[:V].astype(np.float32)
-        out *= np.float32(1.0 / 255.0)
-        return out
+            parts = [fn_many(jnp.asarray(vqs), lo_d, scale_d)]
 
-    def color_by_normals(self, verts: np.ndarray, feats, calib) -> np.ndarray:
-        """fd-normal coloring (reference reconstruction.py:60-70)."""
+        def finish() -> np.ndarray:
+            if len(parts) > 1:
+                res = np.concatenate([np.asarray(p) for p in parts], axis=0)
+            else:
+                res = np.asarray(parts[0])
+            out = res.reshape(-1, 3)[:V].astype(np.float32)
+            out *= np.float32(1.0 / 255.0)
+            return out
+
+        return finish
+
+    def _chunked(self, fn_many, verts: np.ndarray) -> np.ndarray:
+        return self._chunked_start(fn_many, verts)()
+
+    def color_by_normals_start(self, verts: np.ndarray, feats, calib):
+        """Dispatch fd-normal coloring; returns a ``finish()`` that pulls
+        the colors.  Host work (e.g. OBJ face formatting) can run between
+        dispatch and finish, overlapped with the device MLP taps."""
         l_feats, g_feats = feats
         calib = jnp.asarray(calib, jnp.float32)
-        return self._chunked(
+        return self._chunked_start(
             lambda vqs, lo, sc: self._normals_many(
                 self.params, l_feats, g_feats, vqs, lo, sc, calib),
             verts)
+
+    def color_by_normals(self, verts: np.ndarray, feats, calib) -> np.ndarray:
+        """fd-normal coloring (reference reconstruction.py:60-70)."""
+        return self.color_by_normals_start(verts, feats, calib)()
 
     def color_by_image(self, verts: np.ndarray, image: jax.Array,
                        calib) -> np.ndarray:
@@ -518,10 +551,19 @@ class Reconstructor:
     # ----------------------------------------------------------- gen_mesh*
     def _finish_normals(self, verts, faces, feats, data, save_path,
                         montage_img: np.ndarray | None = None) -> dict:
+        from .mesh import format_faces_block, save_obj_with_color_prefaced
+
         t0 = time.time()
-        colors = self.color_by_normals(verts, feats, data["calib"])
+        # dispatch coloring, then format the OBJ face block on the host
+        # WHILE the device runs the fd-normal MLP taps
+        finish_colors = self.color_by_normals_start(verts, feats,
+                                                    data["calib"])
+        faces_blob = format_faces_block(faces)
+        colors = finish_colors()
         t1 = time.time()
-        save_obj_with_color(save_path, verts, faces, colors)
+        if faces_blob is None or not save_obj_with_color_prefaced(
+                save_path, verts, colors, faces_blob):
+            save_obj_with_color(save_path, verts, faces, colors)
         t2 = time.time()
         if montage_img is not None:
             self._write_montage(montage_img, save_path)

@@ -65,18 +65,45 @@ def probe(local_size: int, remat: bool, dtype: str = "bfloat16",
     opt_state = tx.init(params["params"])
     step = jax.jit(make_fine_train_step(model, tx))
 
+    # AOT-compile so XLA's own memory analysis is available: the axon
+    # backend exposes no runtime memory_stats(), but the compiler's
+    # buffer-assignment totals (args + temps + output) are exactly the
+    # HBM the executable reserves — a PROOF of fit, not an observation.
+    t0 = time.time()
+    compiled = step.lower(params, opt_state, batch).compile()
+    compile_s = time.time() - t0
+    mem = {}
+    try:
+        ma = compiled.memory_analysis()
+        if ma is not None:
+            args_gb = ma.argument_size_in_bytes / 1e9
+            temp_gb = ma.temp_size_in_bytes / 1e9
+            out_gb = ma.output_size_in_bytes / 1e9
+            alias_gb = getattr(ma, "alias_size_in_bytes", 0) / 1e9
+            mem = {
+                "hlo_args_GB": round(args_gb, 2),
+                "hlo_temp_GB": round(temp_gb, 2),
+                "hlo_output_GB": round(out_gb, 2),
+                # donated/aliased buffers are counted in both args and
+                # output; the reserve is args + temps + (out - aliased)
+                "hlo_total_GB": round(
+                    args_gb + temp_gb + max(out_gb - alias_gb, 0.0), 2),
+            }
+    except Exception as e:  # noqa: BLE001 — backend-dependent API
+        mem = {"hlo_mem_error": str(e)[:120]}
+
     # NOTE: on the tunneled axon backend block_until_ready does NOT wait
     # for execution — only a data readback synchronizes.  Every timing
     # below forces a scalar readback (float()).
     t0 = time.time()
-    params2, opt_state2, metrics = step(params, opt_state, batch)
+    params2, opt_state2, metrics = compiled(params, opt_state, batch)
     float(metrics["loss"])
-    compile_s = time.time() - t0
+    first_step_s = time.time() - t0
 
     times = []
     for _ in range(steps):
         t0 = time.time()
-        params2, opt_state2, metrics = step(params2, opt_state2, batch)
+        params2, opt_state2, metrics = compiled(params2, opt_state2, batch)
         float(metrics["loss"])
         times.append(time.time() - t0)
 
@@ -86,8 +113,10 @@ def probe(local_size: int, remat: bool, dtype: str = "bfloat16",
         "local": local_size, "remat": remat, "dtype": dtype,
         "params_M": round(n_params / 1e6, 1),
         "compile_s": round(compile_s, 1),
+        "first_step_s": round(first_step_s, 3),
         "step_s": round(float(np.median(times)), 4),
         "peak_mem_GB": round(peak, 2),
+        **mem,
         "loss": round(float(metrics["loss"]), 4),
         "device": str(jax.devices()[0]),
     }
