@@ -88,9 +88,14 @@ def _tiny_trained_field(repo: str):
     base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     tiny_root = tbt.ensure_tiny_dataset(
         os.path.join(base, "rgbd_bench_tiny_data"))
+    import dataclasses
     state = ckpt_mod.load_checkpoint(ckpt_path)
     t_opt = Options.from_dict(state["opt"])
-    tiny_model = MultiResPIFu(cfg=t_opt.netMR, cfg_global=t_opt.netG)
+    # bf16 activations for the tiny field's inference (same as the
+    # flagship path; the 0.5 level set is insensitive at this precision)
+    cfg_mr = dataclasses.replace(t_opt.netMR, compute_dtype="bfloat16")
+    cfg_g = dataclasses.replace(t_opt.netG, compute_dtype="bfloat16")
+    tiny_model = MultiResPIFu(cfg=cfg_mr, cfg_global=cfg_g)
     import jax
     import numpy as _np
     tiny_params = jax.tree.map(  # stored float16 -> compute float32
@@ -284,13 +289,29 @@ def main():
             "calib": calib,
         })
     paths = [os.path.join(out_dir, f"pipe{k}.obj") for k in range(3)]
-    t0 = time.time()
-    for d, p in zip(datas, paths):
-        recon.gen_mesh(d, p, resolution)
-    serial3 = (time.time() - t0) / 3.0
-    t0 = time.time()
-    recon.gen_mesh_many(datas, paths, use_color=0, resolution=resolution)
-    piped = (time.time() - t0) / 3.0
+    # three rounds with alternating order (SP, PS, SP), best of each:
+    # the sandbox speeds up monotonically as caches warm (see runs_s),
+    # so a fixed ordering hands the later — faster — slots to one side;
+    # with SP/PS/SP the two mins land on adjacent late slots (5 and 6)
+    def run_serial():
+        t0 = time.time()
+        for d, p in zip(datas, paths):
+            recon.gen_mesh(d, p, resolution)
+        return (time.time() - t0) / 3.0
+
+    def run_piped():
+        t0 = time.time()
+        recon.gen_mesh_many(datas, paths, use_color=0,
+                            resolution=resolution)
+        return (time.time() - t0) / 3.0
+
+    serial3 = piped = float("inf")
+    for swap in (False, True, False):
+        a, b = (run_piped, run_serial) if swap else (run_serial, run_piped)
+        ta, tb = a(), b()
+        ts, tp = (tb, ta) if swap else (ta, tb)
+        serial3 = min(serial3, ts)
+        piped = min(piped, tp)
 
     # ---- grid-query throughput: points evaluated inside the two-phase
     # jit divided by its wall time (includes the sparse transfer, so this
@@ -326,8 +347,14 @@ def main():
                  "1's stitched encode+volume+marching, which is reported "
                  "as r1_composition_s for apples-to-apples (r1 recorded "
                  "2.36 there). serial_secs_per_mesh and "
-                 "pipelined_secs_per_mesh are measured back-to-back on "
-                 "identical machine state. Device reached through a slow "
+                 "pipelined_secs_per_mesh are measured back-to-back in "
+                 "order-swapped rounds on identical machine state; on "
+                 "this 1-core host gen_mesh_many auto-falls-back to the "
+                 "serial path (a worker thread cannot overlap CPU-bound "
+                 "marching with one core — measured +0.3-0.5 s/mesh of "
+                 "pure contention), so the two numbers measure the same "
+                 "code path here; the two-slot worker pipeline engages "
+                 "on multi-core hosts. Device reached through a slow "
                  "dev tunnel and a single throttled host core, so "
                  "transfers and host stages are overstated vs any "
                  "production host"),

@@ -217,6 +217,20 @@ def load_meshio():
                 ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_char), ctypes.c_int64,
             ]
+            lib.obj_open.restype = ctypes.c_int64
+            lib.obj_open.argtypes = [ctypes.c_char_p]
+            lib.obj_append_verts.restype = ctypes.c_int
+            lib.obj_append_verts.argtypes = [
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+            ]
+            lib.obj_finish.restype = ctypes.c_int
+            lib.obj_finish.argtypes = [
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_char), ctypes.c_int64,
+            ]
             lib.meshio_free.argtypes = [ctypes.c_void_p]
         _CACHE["meshio"] = lib
         return lib

@@ -340,6 +340,77 @@ int obj_write_with_faces(const char* path, const float* verts,
   return 0;
 }
 
+// ---- Streamed OBJ writing -------------------------------------------
+// The vertex colors arrive from the device in macro-groups (the color
+// MLP taps are dispatched in up to 4 chunks, pipeline._chunked_start);
+// these entry points let the caller WRITE group g's vertex lines while
+// group g+1 is still in flight over the host link, then append the
+// preformatted face block (obj_format_faces).  The handle is an opaque
+// FILE* — strictly sequential use from one writer thread.
+
+int64_t obj_open(const char* path) {
+  FILE* fp = std::fopen(path, "w");
+  return (int64_t)(uintptr_t)fp;  // 0 on failure
+}
+
+int obj_append_verts(int64_t handle, const float* verts,
+                     const float* colors, int64_t nv) {
+  FILE* fp = (FILE*)(uintptr_t)handle;
+  if (!fp) return 1;
+  int n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads <= 0) n_threads = 1;
+  if (n_threads > 8) n_threads = 8;
+  if (nv < 65536) n_threads = 1;  // spawn cost beats the win on small runs
+  std::vector<std::vector<char>> bufs(n_threads);
+  auto worker = [&](int t) {
+    const int64_t i0 = nv * t / n_threads;
+    const int64_t i1 = nv * (t + 1) / n_threads;
+    std::vector<char>& b = bufs[t];
+    b.reserve((size_t)(i1 - i0) * 90 + 64);
+    char line[192];
+    for (int64_t i = i0; i < i1; ++i) {
+      const float* v = verts + i * 3;
+      char* p = line;
+      *p++ = 'v'; *p++ = ' ';
+      p = fmt_fixed4(p, v[0]); *p++ = ' ';
+      p = fmt_fixed4(p, v[1]); *p++ = ' ';
+      p = fmt_fixed4(p, v[2]);
+      if (colors) {
+        const float* c = colors + i * 3;
+        *p++ = ' ';
+        p = fmt_fixed4(p, c[0]); *p++ = ' ';
+        p = fmt_fixed4(p, c[1]); *p++ = ' ';
+        p = fmt_fixed4(p, c[2]);
+      }
+      *p++ = '\n';
+      b.insert(b.end(), line, p);
+    }
+  };
+  if (n_threads == 1) {
+    worker(0);
+  } else {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < n_threads; ++t) ths.emplace_back(worker, t);
+    for (auto& th : ths) th.join();
+  }
+  for (auto& b : bufs) {
+    if (!b.empty() && std::fwrite(b.data(), 1, b.size(), fp) != b.size())
+      return 1;
+  }
+  return 0;
+}
+
+int obj_finish(int64_t handle, const char* faces_buf, int64_t faces_len) {
+  FILE* fp = (FILE*)(uintptr_t)handle;
+  if (!fp) return 1;
+  int rc = 0;
+  if (faces_buf && faces_len > 0 &&
+      std::fwrite(faces_buf, 1, (size_t)faces_len, fp) != (size_t)faces_len)
+    rc = 1;
+  if (std::fclose(fp) != 0) rc = 1;
+  return rc;
+}
+
 void meshio_free(void* p) { std::free(p); }
 
 }  // extern "C"

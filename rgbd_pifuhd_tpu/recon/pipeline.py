@@ -18,6 +18,7 @@ subjects reuses the compiled executables (static shapes per resolution).
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any
 
@@ -63,6 +64,39 @@ def _quantize_colors(vals: jax.Array) -> jax.Array:
 _quantize_colors_jit = jax.jit(_quantize_colors)
 _montage_concat_jit = jax.jit(
     lambda panels: _quantize_colors(jnp.concatenate(panels, axis=1)))
+
+
+class _ColorJob:
+    """Handle for in-flight chunked device coloring (``_chunked_start``).
+
+    Callable like the finish() closure it replaces — ``job()`` pulls
+    everything and returns the full [V, 3] float array.  ``groups()``
+    additionally yields ``(row0, colors)`` per dispatched macro-group in
+    order, so a consumer (the streamed OBJ writer) can process group g
+    while group g+1 is still crossing the host link.  Pulls are
+    repeatable: the device buffers stay alive until the job is dropped.
+    """
+
+    def __init__(self, parts, V: int):
+        self._parts, self._V = parts, V
+
+    def groups(self):
+        row = 0
+        for p in self._parts:
+            a = np.asarray(p).reshape(-1, 3)
+            n = min(len(a), self._V - row)
+            if n <= 0:
+                break
+            out = a[:n].astype(np.float32)
+            out *= np.float32(1.0 / 255.0)
+            yield row, out
+            row += n
+
+    def __call__(self) -> np.ndarray:
+        cols = [c for _, c in self.groups()]
+        if not cols:
+            return np.zeros((0, 3), np.float32)
+        return cols[0] if len(cols) == 1 else np.concatenate(cols, axis=0)
 
 
 def _dequantize_verts(vq: jax.Array, lo: jax.Array,
@@ -305,7 +339,7 @@ class Reconstructor:
         levels = getattr(self.opt, "octree_levels", 3)
         if levels == 3 and resolution % 8 == 0:
             sub_budget = esc.get("subcells") or min(
-                getattr(self.opt, "num_refine_subcells", 65536), budget * 8)
+                getattr(self.opt, "num_refine_subcells", 32768), budget * 8)
             from .grid import pack_sparse3, unpack_sparse3
             while True:
                 corner, top8, sub_q, top4, refined, diag = (
@@ -474,7 +508,7 @@ class Reconstructor:
         from ..native import load_meshio
         V = len(verts)
         if V == 0:
-            return lambda: np.zeros((0, 3), np.float32)
+            return _ColorJob([], 0)
         chunk = self._COLOR_CHUNK
         K = max(1, -(-V // chunk))
         if K > 4:
@@ -507,17 +541,7 @@ class Reconstructor:
                              lo_d, scale_d) for i in range(4)]
         else:
             parts = [fn_many(jnp.asarray(vqs), lo_d, scale_d)]
-
-        def finish() -> np.ndarray:
-            if len(parts) > 1:
-                res = np.concatenate([np.asarray(p) for p in parts], axis=0)
-            else:
-                res = np.asarray(parts[0])
-            out = res.reshape(-1, 3)[:V].astype(np.float32)
-            out *= np.float32(1.0 / 255.0)
-            return out
-
-        return finish
+        return _ColorJob(parts, V)
 
     def _chunked(self, fn_many, verts: np.ndarray) -> np.ndarray:
         return self._chunked_start(fn_many, verts)()
@@ -549,30 +573,97 @@ class Reconstructor:
             verts)
 
     # ----------------------------------------------------------- gen_mesh*
+    @staticmethod
+    def _write_obj_streamed(save_path: str, verts: np.ndarray,
+                            job, faces_blob) -> bool:
+        """Streamed OBJ write: vertex lines for color group g hit the
+        file while group g+1 is still crossing the host link (the puller
+        thread blocks GIL-free on the transfer, the writer formats on the
+        CPU — genuine overlap even on one core).  ALWAYS consumes a
+        non-None ``faces_blob``.  Returns False when the native writer is
+        unavailable or a write failed; the caller falls back to
+        ``save_obj_with_color(path, verts, faces, job())`` (group pulls
+        are repeatable)."""
+        import ctypes
+        import queue
+        import threading
+
+        from ..native import load_meshio
+
+        lib = load_meshio()
+        if faces_blob is None or lib is None \
+                or getattr(lib, "obj_open", None) is None:
+            if faces_blob is not None:
+                faces_blob[0].meshio_free(faces_blob[1])
+            return False
+        h = lib.obj_open(save_path.encode())
+        if not h:
+            faces_blob[0].meshio_free(faces_blob[1])
+            return False
+
+        q: queue.Queue = queue.Queue(maxsize=2)
+
+        def pull():
+            try:
+                for item in job.groups():
+                    q.put(item)
+                q.put(None)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                q.put(e)
+
+        t = threading.Thread(target=pull)
+        t.start()
+        vsrc = np.ascontiguousarray(verts, np.float32)
+        ok = True
+        err = None
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                err = item
+                break
+            r0, cols = item
+            c = np.ascontiguousarray(cols, np.float32)
+            rc = lib.obj_append_verts(
+                h, vsrc[r0:].ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_float)),
+                c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                ctypes.c_int64(len(c)))
+            ok = ok and rc == 0
+        t.join()
+        _, buf, ln = faces_blob
+        try:
+            good = ok and err is None
+            rc = lib.obj_finish(h, buf if good else None,
+                                ln if good else 0)
+        finally:
+            lib.meshio_free(buf)
+        if err is not None:
+            raise err
+        return ok and rc == 0
+
     def _finish_normals(self, verts, faces, feats, data, save_path,
                         montage_img: np.ndarray | None = None) -> dict:
-        from .mesh import format_faces_block, save_obj_with_color_prefaced
+        from .mesh import format_faces_block
 
         t0 = time.time()
-        # dispatch coloring, then format the OBJ face block on the host
-        # WHILE the device runs the fd-normal MLP taps
-        finish_colors = self.color_by_normals_start(verts, feats,
-                                                    data["calib"])
+        # dispatch coloring, then run the host-only tail work (face-block
+        # formatting, montage PNG encode) WHILE the device computes the
+        # fd-normal MLP taps
+        job = self.color_by_normals_start(verts, feats, data["calib"])
         faces_blob = format_faces_block(faces)
-        colors = finish_colors()
-        t1 = time.time()
-        if faces_blob is None or not save_obj_with_color_prefaced(
-                save_path, verts, colors, faces_blob):
-            save_obj_with_color(save_path, verts, faces, colors)
-        t2 = time.time()
         if montage_img is not None:
             self._write_montage(montage_img, save_path)
         else:
             self._save_montage(data, feats, save_path)
+        t1 = time.time()
+        if not self._write_obj_streamed(save_path, verts, job, faces_blob):
+            save_obj_with_color(save_path, verts, faces, job())
         return {"verts": verts, "faces": faces,
-                "finish_phases": {"color": round(t1 - t0, 4),
-                                  "obj": round(t2 - t1, 4),
-                                  "montage": round(time.time() - t2, 4)}}
+                "finish_phases": {
+                    "faces_and_montage": round(t1 - t0, 4),
+                    "color_and_obj": round(time.time() - t1, 4)}}
 
     def _finish_img_color(self, verts, faces, feats, data, save_path,
                           cleanup: bool) -> dict:
@@ -580,15 +671,32 @@ class Reconstructor:
         return self._finish_img_color_host(verts, faces, colors, xyz_proj,
                                            feats, data, save_path, cleanup)
 
+    def _sample_img_colors_start(self, verts, data, cleanup: bool):
+        """Dispatch the DEVICE part of image coloring (color gather +
+        projected coords) and return a ``finish() -> (colors, xyz_proj)``
+        that only PULLS — safe to call from a worker thread (a pull
+        enqueues no device compute, so it cannot head-of-line-block a
+        later subject's evaluation kernels)."""
+        image = jnp.asarray(data["img"][0])
+        calib = jnp.asarray(data["calib"], jnp.float32)
+        finish_c = self._chunked_start(
+            lambda vqs, lo, sc: self._img_color_many(image, vqs, lo, sc,
+                                                     calib),
+            verts)
+        xyz_dev = None
+        if cleanup:  # projected coords used by the back-color inpainting
+            xyz_dev = geom.orthogonal(jnp.asarray(verts)[None], calib[None])
+
+        def finish():
+            colors = finish_c()
+            xyz = np.asarray(xyz_dev)[0] if xyz_dev is not None else None
+            return colors, xyz
+
+        return finish
+
     def _sample_img_colors(self, verts, data, cleanup: bool):
         """DEVICE part of image coloring: color gather + projected coords."""
-        colors = self.color_by_image(verts, data["img"][0], data["calib"])
-        xyz_proj = None
-        if cleanup:  # projected coords used by the back-color inpainting
-            xyz_proj = np.asarray(geom.orthogonal(
-                jnp.asarray(verts)[None],
-                jnp.asarray(data["calib"], jnp.float32)[None]))[0]
-        return colors, xyz_proj
+        return self._sample_img_colors_start(verts, data, cleanup)()
 
     def _finish_img_color_host(self, verts, faces, colors, xyz_proj, feats,
                                data, save_path, cleanup: bool,
@@ -679,24 +787,35 @@ class Reconstructor:
         return out
 
     def gen_mesh_many(self, items, save_paths, use_color: int = 0,
-                      resolution: int | None = None) -> list[dict]:
-        """Two-slot subject pipeline: subject i's CPU/IO tail (world
-        mapping for image color, component cleanup, inpainting, OBJ write,
-        montage) runs on a worker thread while subject i+1's device stage
-        (encode + grid evaluation + coloring) proceeds on the main thread.
-        The reference loops subjects fully serially
-        (reconstruction.py:307-321).
+                      resolution: int | None = None,
+                      pipeline: bool | None = None) -> list[dict]:
+        """Two-slot subject pipeline: subject i's CPU/IO tail (device
+        result pulls, world mapping for image color, component cleanup,
+        inpainting, OBJ write, montage) runs on a worker thread while
+        subject i+1's device stage (encode + grid evaluation + coloring
+        dispatch) proceeds on the main thread.  The reference loops
+        subjects fully serially (reconstruction.py:307-321).
 
-        ALL device work stays on the main thread: with a single chip,
+        ALL device COMPUTE stays on the main thread: with a single chip,
         device calls issued from the worker would queue behind the next
         subject's large evaluation kernel (head-of-line blocking) and
-        pessimize the pipeline.  Returns result dicts in input order.
+        pessimize the pipeline.  The worker only PULLS already-dispatched
+        results.  Returns result dicts in input order.
+
+        ``pipeline=None`` (default) auto-detects: on a single-core host
+        the worker thread cannot run concurrently with the main thread's
+        marching and only adds GIL/transfer-lock contention (measured
+        +0.3-0.5 s/mesh on the 1-core bench sandbox), so the loop falls
+        back to the serial ``gen_mesh`` path — which already overlaps
+        montage pulls, face formatting and color transfers internally.
+        Pass ``pipeline=True``/``False`` to force either mode.
 
         ``items`` may be any iterable (a generator keeps host memory at
         O(2 subjects) for long datasets); ``save_paths`` may be a parallel
         iterable of paths or a callable ``data -> path``.
         """
         from concurrent.futures import ThreadPoolExecutor
+        from .mesh import format_faces_block
 
         res = resolution or self.opt.resolution
         if callable(save_paths):
@@ -705,16 +824,44 @@ class Reconstructor:
         else:
             pairs = zip(items, save_paths)
 
-        def host_stage(verts, faces, colors, xyz_proj, montage, feats, data,
-                       save_path, t0, diag):
+        if pipeline is None:
+            try:
+                n_cores = len(os.sched_getaffinity(0))
+            except (AttributeError, OSError):
+                n_cores = os.cpu_count() or 1
+            pipeline = n_cores > 1
+        if not pipeline:
+            results = []
+            for data, save_path in pairs:
+                if use_color == 0:
+                    results.append(self.gen_mesh(data, save_path, res))
+                else:
+                    results.append(self.gen_mesh_img_color(
+                        data, save_path, res, cleanup=use_color == 2))
+            return results
+
+        def host_stage(verts, faces, finish_colors, montage_dev,
+                       feats, data, save_path, t0, diag):
+            # runs on the worker: ONLY device PULLS (transfers enqueue no
+            # compute, so they cannot head-of-line-block the next
+            # subject's evaluation kernels) + host formatting/IO.  The
+            # pulls release the GIL while waiting on the link, so the
+            # main thread's marching for subject i+1 keeps the core.
             if use_color == 0:
-                save_obj_with_color(save_path, verts, faces, colors)
-                self._write_montage(montage, save_path)
+                faces_blob = format_faces_block(faces)
+                self._write_montage(np.asarray(montage_dev)[:, :, ::-1],
+                                    save_path)
+                if not self._write_obj_streamed(save_path, verts,
+                                                finish_colors, faces_blob):
+                    save_obj_with_color(save_path, verts, faces,
+                                        finish_colors())
                 out = {"verts": verts, "faces": faces}
             else:
+                colors, xyz_proj = finish_colors()
                 out = self._finish_img_color_host(
                     verts, faces, colors, xyz_proj, feats, data, save_path,
-                    cleanup=use_color == 2, montage_img=montage)
+                    cleanup=use_color == 2,
+                    montage_img=np.asarray(montage_dev)[:, :, ::-1])
             out.update(secs=time.time() - t0, grid_diag=diag)
             return out
 
@@ -735,23 +882,21 @@ class Reconstructor:
                     raise RuntimeError("marching produced an empty mesh")
                 verts, faces = self._to_world(verts_idx, faces,
                                               data["calib"], res)
-                xyz_proj = None
+                # DISPATCH coloring on the main thread (device compute
+                # must never be enqueued from the worker); the worker
+                # pulls the results
                 if use_color == 0:
-                    colors = self.color_by_normals(verts, feats,
-                                                   data["calib"])
+                    finish_colors = self.color_by_normals_start(
+                        verts, feats, data["calib"])
                 else:
-                    colors, xyz_proj = self._sample_img_colors(
+                    finish_colors = self._sample_img_colors_start(
                         verts, data, cleanup=use_color == 2)
-                # pull on the MAIN thread: the compute was queued before
-                # the field evaluation, so this is a pure transfer (a
-                # device COMPUTE issued from the worker would queue
-                # behind the next subject's evaluation kernels)
-                montage = np.asarray(montage_dev)[:, :, ::-1]
                 if pending is not None:
                     results.append(pending.result())
-                pending = ex.submit(host_stage, verts, faces, colors,
-                                    xyz_proj, montage, feats, data,
-                                    save_path, t0, self.last_grid_diag)
+                pending = ex.submit(host_stage, verts, faces,
+                                    finish_colors, montage_dev, feats,
+                                    data, save_path, t0,
+                                    self.last_grid_diag)
             if pending is not None:
                 results.append(pending.result())
         return results

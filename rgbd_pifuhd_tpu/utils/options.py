@@ -139,9 +139,11 @@ class Options:
     num_samples_query: int = 262144  # points per device batch in grid eval
     num_refine_cells: int = 12288   # octree refinement budget (64^3 cells)
     octree_levels: int = 3          # 3 = stride 8->4->1; 2 = single split
-    num_refine_subcells: int = 65536  # level-3 budget (4^3 sub-cells);
-    # 65536 covers the ~57k active sub-cells of a 1M-vert human surface at
-    # 512^3 (the old 49152 default under-refined the flagship workload)
+    num_refine_subcells: int = 32768  # level-3 budget (4^3 sub-cells);
+    # covers a typical ~1.3M-vert human surface at 512^3 (~27k active)
+    # with headroom; heavier surfaces trigger auto_escalate_budget, which
+    # doubles and re-evaluates — the cost lands on the FIRST subject only
+    # (warmup in serving), and nothing ever silently under-refines
     auto_escalate_budget: bool = True  # re-run with doubled budget on
     # overflow instead of degrading to coarse interpolation (the reference
     # octree never under-refines, mesh_util.py:124-187)
@@ -257,7 +259,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_octree", action="store_true")
     p.add_argument("--octree_levels", type=int, default=3, choices=(2, 3),
                    help="3 = stride 8->4->1 refinement, 2 = single split")
-    p.add_argument("--num_refine_subcells", type=int, default=65536,
+    p.add_argument("--num_refine_subcells", type=int, default=32768,
                    help="level-3 refinement budget (4^3 sub-cells)")
     p.add_argument("--num_refine_cells", type=int, default=12288,
                    help="two-phase refinement budget (cells of 8^3 voxels)")

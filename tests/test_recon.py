@@ -417,7 +417,10 @@ def test_gen_mesh_many_matches_sequential(rng, tmp_path):
                           resolution=32)
            for k, d in enumerate(datas)]
     paths = [os.path.join(tmp_path, f"pipe{k}.obj") for k in range(3)]
-    piped = recon.gen_mesh_many(datas, paths, use_color=0, resolution=32)
+    # force the worker pipeline: the auto mode falls back to the serial
+    # loop on a 1-core host, which would leave the worker path untested
+    piped = recon.gen_mesh_many(datas, paths, use_color=0, resolution=32,
+                                pipeline=True)
 
     assert len(piped) == len(seq)
     for s, p, path in zip(seq, piped, paths):
@@ -433,7 +436,7 @@ def test_gen_mesh_many_matches_sequential(rng, tmp_path):
         paths_c = [os.path.join(tmp_path, f"pc{uc}_{k}.obj")
                    for k in range(2)]
         piped_c = recon.gen_mesh_many(datas[:2], paths_c, use_color=uc,
-                                      resolution=32)
+                                      resolution=32, pipeline=True)
         for s, p, path in zip(seq_c, piped_c, paths_c):
             assert os.path.exists(path)
             np.testing.assert_allclose(s["verts"], p["verts"], atol=1e-5)
@@ -500,6 +503,38 @@ def test_estimate_back_colors_matches_dense_oracle():
     got = estimate_back_colors(colors, xyz)
     want = dense_oracle(colors, xyz)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_streamed_obj_write_byte_identical(tmp_path):
+    """The streamed per-color-group OBJ writer (vertex lines written
+    while later groups are still in flight) must produce a byte-identical
+    file to the monolithic save_obj_with_color."""
+    from rgbd_pifuhd_tpu.native import load_meshio
+    from rgbd_pifuhd_tpu.recon.mesh import (format_faces_block,
+                                            save_obj_with_color)
+    from rgbd_pifuhd_tpu.recon.pipeline import Reconstructor, _ColorJob
+
+    if load_meshio() is None:
+        pytest.skip("native meshio unavailable")
+
+    rng = np.random.default_rng(7)
+    for parts_rows, V in (((1024,), 1000),        # one part, truncated
+                          ((512, 512), 1000),     # multi-part, last short
+                          ((256,), 256)):         # exact fit
+        verts = rng.standard_normal((V, 3)).astype(np.float32)
+        faces = rng.integers(0, V, (2 * V, 3)).astype(np.int32)
+        parts = [rng.integers(0, 256, (1, r, 3)).astype(np.uint8)
+                 for r in parts_rows]
+        job = _ColorJob(parts, V)
+
+        ref_path = os.path.join(tmp_path, "ref.obj")
+        save_obj_with_color(ref_path, verts, faces, job())
+        out_path = os.path.join(tmp_path, "streamed.obj")
+        ok = Reconstructor._write_obj_streamed(
+            out_path, verts, job, format_faces_block(faces))
+        assert ok
+        with open(ref_path, "rb") as f1, open(out_path, "rb") as f2:
+            assert f1.read() == f2.read()
 
 
 def test_quantize_colors_clips_out_of_range():
