@@ -89,8 +89,9 @@ def main(argv=None):
         return data
 
     def path_for(data):
+        ext = getattr(opt, "mesh_format", "obj")
         return os.path.join(
-            out_dir, f"result_{data['name']}_{opt.resolution}.obj")
+            out_dir, f"result_{data['name']}_{opt.resolution}.{ext}")
 
     if opt.use_octree and end - start > 1:
         # two-slot pipeline: subject i's host marching/coloring/IO overlaps

@@ -136,6 +136,25 @@ class CoarsePIFu(nn.Module):
         return CoarseQueryOut(jnp.stack(preds, axis=0), phi, mask)
 
     # ------------------------------------------------------- calc_normal
+    def field_last(
+        self,
+        feats: CoarseFeatures,
+        points: jax.Array,
+        calibs: jax.Array,
+    ) -> jax.Array:
+        """Occupancy from the LAST hourglass stack, unmasked.
+
+        The differentiable scalar field behind autodiff normals
+        (``normal_mode='grad'``) — the same quantity ``calc_normal``'s fd
+        stencil samples at its four taps.  Returns ``[B, N, 1]``.
+        """
+        c = self.cfg
+        xyz = geom.PROJECTIONS[c.projection_mode](points, calibs)
+        sp_feat = geom.depth_normalize(xyz, c.load_size, c.z_size)
+        point_feat = geom.index(feats.im_feats[-1], xyz[..., :2])
+        pred, _ = self.mlp(jnp.concatenate([point_feat, sp_feat], axis=-1))
+        return pred
+
     def calc_normal(
         self,
         feats: CoarseFeatures,

@@ -213,6 +213,35 @@ class MultiResPIFu(nn.Module):
         )
 
     # ------------------------------------------------------- calc_normal
+    def field_last(
+        self,
+        l_feats: FineFeatures,
+        g_feats: CoarseFeatures,
+        points: jax.Array,
+        calib_local: jax.Array,
+        calib_global: jax.Array,
+    ) -> jax.Array:
+        """Fine occupancy from the LAST local stack, NO stop-gradients.
+
+        The differentiable scalar field behind autodiff normals
+        (``normal_mode='grad'``): exactly the quantity the fd stencil in
+        ``calc_normal`` samples at its four taps — last-stack local
+        feature + coarse phi — but with the coarse path left
+        differentiable so ``jax.grad`` w.r.t. ``points`` carries the same
+        z-variation the displaced taps would see.  Returns
+        ``[B1*B2, N, 1]``.
+        """
+        B1, B2, N, _ = points.shape
+        xyz = geom.PROJECTIONS[self.cfg.projection_mode](points, calib_local)
+        xy = xyz[..., :2].reshape(B1 * B2, N, 2)
+        coarse = self.netG.query(
+            g_feats, points.reshape(B1, B2 * N, 3), calib_global
+        )
+        z_feat = coarse.phi.reshape(B1 * B2, N, -1)
+        point_feat = geom.index(l_feats.im_feats[-1], xy)
+        pred, _ = self.mlp(jnp.concatenate([point_feat, z_feat], axis=-1))
+        return pred
+
     def calc_normal(
         self,
         l_feats: FineFeatures,

@@ -68,6 +68,77 @@ def save_obj_with_color(path: str, verts: np.ndarray, faces: np.ndarray,
         fh.write("\n".join(lines) + "\n")
 
 
+def save_ply_with_color(path: str, verts: np.ndarray, faces: np.ndarray,
+                        colors: np.ndarray | None = None) -> None:
+    """Binary little-endian PLY writer (serving-oriented output format).
+
+    The reference exports text OBJ only (mesh_util.py:189-198); a 1.3M-vert
+    colored mesh is ~90 MB of decimal text and the formatting dominates the
+    host tail.  Binary PLY is a near-memcpy: two packed structured arrays
+    stream straight to the file (~10-40x faster at 1M verts).  Colors are
+    stored as uchar RGB (the device already quantizes to uint8 precision);
+    face winding is flipped exactly like the OBJ writer, so importers see
+    the same orientation.
+    """
+    v = np.asarray(verts, np.float32)
+    f = np.asarray(faces)
+    V, F = len(v), len(f)
+    has_c = colors is not None
+    props = ["property float x", "property float y", "property float z"]
+    if has_c:
+        props += ["property uchar red", "property uchar green",
+                  "property uchar blue"]
+    header = "\n".join(
+        ["ply", "format binary_little_endian 1.0",
+         f"element vertex {V}"] + props +
+        [f"element face {F}",
+         "property list uchar int vertex_indices", "end_header", ""])
+    vdt = (np.dtype([("xyz", "<f4", 3), ("rgb", "u1", 3)]) if has_c
+           else np.dtype([("xyz", "<f4", 3)]))
+    vbuf = np.empty(V, vdt)
+    vbuf["xyz"] = v
+    if has_c:
+        c = np.asarray(colors, np.float32)
+        vbuf["rgb"] = np.clip(np.round(c * 255.0), 0, 255).astype(np.uint8)
+    fdt = np.dtype([("n", "u1"), ("idx", "<i4", 3)])
+    fbuf = np.empty(F, fdt)
+    fbuf["n"] = 3
+    fbuf["idx"] = f[:, [0, 2, 1]]  # flipped winding, as the OBJ writer
+    with open(path, "wb") as fh:
+        fh.write(header.encode("ascii"))
+        vbuf.tofile(fh)
+        fbuf.tofile(fh)
+
+
+def load_ply(path: str):
+    """Read a binary-little-endian PLY written by ``save_ply_with_color``.
+
+    Returns ``(verts [V,3] f32, faces [F,3] i32 — winding un-flipped back,
+    colors [V,3] f32 in [0,1] or None)``.
+    """
+    with open(path, "rb") as fh:
+        V = F = 0
+        has_c = False
+        while True:
+            line = fh.readline().decode("ascii").strip()
+            if line.startswith("element vertex"):
+                V = int(line.split()[-1])
+            elif line.startswith("element face"):
+                F = int(line.split()[-1])
+            elif line == "property uchar red":
+                has_c = True
+            elif line == "end_header":
+                break
+        vdt = (np.dtype([("xyz", "<f4", 3), ("rgb", "u1", 3)]) if has_c
+               else np.dtype([("xyz", "<f4", 3)]))
+        vbuf = np.fromfile(fh, vdt, V)
+        fbuf = np.fromfile(fh, np.dtype([("n", "u1"), ("idx", "<i4", 3)]), F)
+    verts = vbuf["xyz"].astype(np.float32)
+    colors = (vbuf["rgb"].astype(np.float32) / 255.0) if has_c else None
+    faces = fbuf["idx"][:, [0, 2, 1]].astype(np.int32)
+    return verts, faces, colors
+
+
 def format_faces_block(faces: np.ndarray):
     """Pre-format the OBJ face block (flipped winding) into a native text
     buffer WITHOUT writing it — callers run this while the device is still

@@ -147,6 +147,13 @@ class Options:
     auto_escalate_budget: bool = True  # re-run with doubled budget on
     # overflow instead of degrading to coarse interpolation (the reference
     # octree never under-refines, mesh_util.py:124-187)
+    mesh_format: str = "obj"  # export format: "obj" = reference-parity
+    # text OBJ (mesh_util.py:189-198); "ply" = binary little-endian PLY,
+    # a near-memcpy write (~10-40x faster host tail at 1M verts)
+    normal_mode: str = "fd"  # vertex-normal coloring: "fd" = 4-tap
+    # finite-difference stencil (reference PIFuMRNet.py:188-243 semantics,
+    # 4 field evaluations/vertex); "grad" = one reverse-mode sweep of the
+    # same field (~2x one forward) — exact gradient, cheaper on device
 
     # Sampling
     num_sample_inout: int = 300
@@ -265,6 +272,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="two-phase refinement budget (cells of 8^3 voxels)")
     p.add_argument("--no_auto_escalate_budget", action="store_true",
                    help="disable budget doubling on refinement overflow")
+    p.add_argument("--normal_mode", type=str, default="fd",
+                   choices=("fd", "grad"),
+                   help="vertex normals: 4-tap finite difference (reference"
+                        " semantics) or one autodiff sweep (cheaper)")
+    p.add_argument("--mesh_format", type=str, default="obj",
+                   choices=("obj", "ply"),
+                   help="mesh export: text OBJ (reference parity) or "
+                        "binary PLY (much faster host write)")
     # Sampling
     p.add_argument("--num_sample_inout", type=int, default=300)
     p.add_argument("--sigma", type=float, default=1.0)
@@ -364,6 +379,8 @@ def parse_options(argv: Sequence[str] | None = None) -> Options:
         octree_levels=args.octree_levels,
         num_refine_subcells=args.num_refine_subcells,
         auto_escalate_budget=not args.no_auto_escalate_budget,
+        normal_mode=args.normal_mode,
+        mesh_format=args.mesh_format,
         num_sample_inout=args.num_sample_inout,
         sigma=args.sigma_max if args.sigma_max > 0 else args.sigma,
         sigma_max=args.sigma_max, sigma_min=args.sigma_min,

@@ -152,6 +152,101 @@ def test_multires_calc_normal(rng):
     assert nml.shape == (B1 * B2, N, 3)
 
 
+_FD_OFFSETS = np.array(
+    [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+
+
+def test_multires_autodiff_normals_match_fd(rng):
+    """``field_last`` IS the field behind ``calc_normal``'s fd stencil
+    (normal_mode='grad' vs 'fd').
+
+    Two checks:
+    1. exact — re-running the 4-tap stencil THROUGH ``field_last`` must
+       reproduce ``calc_normal`` bit-close (same ops, same field);
+    2. directional — the reverse-mode gradient of ``field_last`` must
+       agree with the fd direction where the gradient is strongest.
+       Loose bound only: at random tiny-init the field's true gradient is
+       ~1e-4, so fd differences sit ~1 decade above the f32 rounding
+       floor of the ~0.5-valued sigmoid field — fd itself carries ~10%
+       direction noise (grad mode is the *more* exact of the two).
+    """
+    B1, B2, N, delta = 1, 2, 256, 1e-2
+    model, params, args = _build_mr(rng, B1, B2, N)
+    imgs_l, imgs_g, _, calib_l, calib_g, _ = args
+    points = jnp.asarray(
+        rng.uniform(-0.5, 0.5, (B1, B2, N, 3)).astype(np.float32))
+    g_feats = model.apply(params, imgs_g,
+                          method=MultiResPIFu.filter_global)
+    l_feats = model.apply(params, imgs_l, g_feats,
+                          method=MultiResPIFu.filter_local)
+    fd = np.asarray(model.apply(
+        params, l_feats, g_feats, points, calib_l, calib_g,
+        method=MultiResPIFu.calc_normal, delta=delta))
+
+    # 1. exact: stencil-of-field_last == calc_normal
+    pts_all = (points[:, :, :, None, :]
+               + jnp.asarray(delta * _FD_OFFSETS)).reshape(B1, B2, N * 4, 3)
+    pred = np.asarray(model.apply(
+        params, l_feats, g_feats, pts_all, calib_l, calib_g,
+        method=MultiResPIFu.field_last)).reshape(B1 * B2, N, 4)
+    sg = -(pred[..., 1:] - pred[..., :1])
+    sg /= np.maximum(np.linalg.norm(sg, axis=-1, keepdims=True), 1e-8)
+    np.testing.assert_allclose(fd, sg, atol=1e-5)
+
+    # 2. directional: autodiff vs fd on the top-half-magnitude points
+    def field(pts):
+        return model.apply(params, l_feats, g_feats, pts, calib_l, calib_g,
+                           method=MultiResPIFu.field_last).sum()
+
+    g = -np.asarray(jax.grad(field)(points)).reshape(B1 * B2, N, 3)
+    mag = np.linalg.norm(g, axis=-1)
+    an = g / np.maximum(mag, 1e-12)[..., None]
+    sel = mag > np.median(mag)
+    cos = (fd * an).sum(axis=-1)[sel]
+    assert np.mean(cos) > 0.75
+    assert np.mean(cos > 0.9) > 0.6
+
+
+def test_coarse_autodiff_normals_match_fd(rng):
+    cfg = tiny_global()
+    model = CoarsePIFu(cfg)
+    B, N, delta = 1, 256, 1e-2
+    images = jnp.asarray(
+        rng.standard_normal((B, 64, 64, 6)).astype(np.float32))
+    points = jnp.asarray(
+        rng.uniform(-0.5, 0.5, (B, N, 3)).astype(np.float32))
+    calibs = eye_calib(B)
+    labels = jnp.zeros((B, N, 1), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), images, points, calibs,
+                        labels)
+    feats = model.apply(params, images, method=CoarsePIFu.filter)
+    fd = np.asarray(model.apply(params, feats, points, calibs,
+                                method=CoarsePIFu.calc_normal, delta=delta))
+
+    # 1. exact: stencil-of-field_last == calc_normal (see multires test)
+    pts_all = (points[:, :, None, :]
+               + jnp.asarray(delta * _FD_OFFSETS)).reshape(B, N * 4, 3)
+    pred = np.asarray(model.apply(
+        params, feats, pts_all, calibs,
+        method=CoarsePIFu.field_last)).reshape(B, N, 4)
+    sg = -(pred[..., 1:] - pred[..., :1])
+    sg /= np.maximum(np.linalg.norm(sg, axis=-1, keepdims=True), 1e-8)
+    np.testing.assert_allclose(fd, sg, atol=1e-5)
+
+    # 2. directional agreement (loose; fd noise floor, see multires test)
+    def field(pts):
+        return model.apply(params, feats, pts, calibs,
+                           method=CoarsePIFu.field_last).sum()
+
+    g = -np.asarray(jax.grad(field)(points))
+    mag = np.linalg.norm(g, axis=-1)
+    an = g / np.maximum(mag, 1e-12)[..., None]
+    sel = mag > np.median(mag)
+    cos = (fd * an).sum(axis=-1)[sel]
+    assert np.mean(cos) > 0.75
+    assert np.mean(cos > 0.9) > 0.6
+
+
 def test_global_generator_shapes(rng):
     g = GlobalGenerator(output_nc=3, ngf=8, n_downsampling=2, n_blocks=2)
     x = jnp.zeros((1, 64, 64, 6))

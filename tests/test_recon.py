@@ -150,6 +150,91 @@ def test_reconstructor_machinery(rng, tmp_path):
     assert len(v) == len(out["verts"]) and c is not None
 
 
+def test_reconstructor_grad_normal_mode(rng, tmp_path):
+    """normal_mode='grad' (one-VJP autodiff normals) end to end: same
+    pipeline, colors from the exact field gradient instead of 4 fd taps."""
+    from rgbd_pifuhd_tpu.models import MultiResPIFu
+    from rgbd_pifuhd_tpu.recon.pipeline import Reconstructor
+    from rgbd_pifuhd_tpu.utils.options import Options
+    from tests.test_models_pifu import tiny_global, tiny_local
+
+    opt = Options(resolution=32, use_octree=True, normal_mode="grad")
+    model = MultiResPIFu(cfg=tiny_local(), cfg_global=tiny_global())
+
+    img_l = jnp.asarray(rng.standard_normal((1, 32, 32, 6)).astype(np.float32))
+    img_g = jnp.asarray(rng.standard_normal((1, 64, 64, 6)).astype(np.float32))
+    calib = jnp.eye(4, dtype=jnp.float32)
+    pts = jnp.zeros((1, 1, 8, 3), jnp.float32)
+    labels = jnp.zeros((1, 1, 8, 1), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), img_l[None], img_g, pts,
+                        calib[None, None], calib[None], labels)
+
+    recon = Reconstructor(model, params, opt)
+    data = {"img": img_l, "img_512": img_g, "calib": calib}
+    out = recon.gen_mesh(data, os.path.join(tmp_path, "grad.obj"),
+                         resolution=32)
+    v, f, c = load_obj(os.path.join(tmp_path, "grad.obj"))
+    assert len(v) == len(out["verts"]) and c is not None
+    # colors decode to unit-normal encodings: |2c-1| close to 1
+    mag = np.linalg.norm(np.asarray(c) * 2.0 - 1.0, axis=-1)
+    assert np.all(mag < 1.1) and np.median(mag) > 0.5
+
+
+def test_ply_roundtrip_matches_obj(rng, tmp_path):
+    """Binary PLY writer: round-trips exactly and agrees with the OBJ
+    writer on geometry, winding, and (uint8-quantized) colors."""
+    from rgbd_pifuhd_tpu.recon.mesh import save_ply_with_color, load_ply
+
+    verts = rng.standard_normal((100, 3)).astype(np.float32)
+    faces = rng.integers(0, 100, (60, 3)).astype(np.int32)
+    colors = rng.uniform(0, 1, (100, 3)).astype(np.float32)
+
+    ply = os.path.join(tmp_path, "m.ply")
+    obj = os.path.join(tmp_path, "m.obj")
+    save_ply_with_color(ply, verts, faces, colors)
+    save_obj_with_color(obj, verts, faces, colors)
+
+    pv, pf, pc = load_ply(ply)
+    ov, of, oc = load_obj(obj)
+    np.testing.assert_array_equal(pv, verts)
+    np.testing.assert_array_equal(pf, faces)       # load_ply un-flips back
+    # load_obj returns the on-disk (flipped) winding; both writers flip
+    # identically, so the OBJ faces are the PLY faces re-flipped
+    np.testing.assert_array_equal(of, pf[:, [0, 2, 1]])
+    np.testing.assert_allclose(pc, colors, atol=1.0 / 255.0 + 1e-7)
+    # colorless variant
+    save_ply_with_color(ply, verts, faces, None)
+    pv, pf, pc = load_ply(ply)
+    np.testing.assert_array_equal(pv, verts)
+    assert pc is None
+
+
+def test_gen_mesh_ply_export(rng, tmp_path):
+    """gen_mesh with a .ply save path uses the binary writer end to end."""
+    from rgbd_pifuhd_tpu.models import MultiResPIFu
+    from rgbd_pifuhd_tpu.recon.mesh import load_ply
+    from rgbd_pifuhd_tpu.recon.pipeline import Reconstructor
+    from rgbd_pifuhd_tpu.utils.options import Options
+    from tests.test_models_pifu import tiny_global, tiny_local
+
+    model = MultiResPIFu(cfg=tiny_local(), cfg_global=tiny_global())
+    img_l = jnp.asarray(rng.standard_normal((1, 32, 32, 6)).astype(np.float32))
+    img_g = jnp.asarray(rng.standard_normal((1, 64, 64, 6)).astype(np.float32))
+    calib = jnp.eye(4, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), img_l[None], img_g,
+                        jnp.zeros((1, 1, 8, 3), jnp.float32),
+                        calib[None, None], calib[None],
+                        jnp.zeros((1, 1, 8, 1), jnp.float32))
+    recon = Reconstructor(model, params, Options(resolution=32))
+    data = {"img": img_l, "img_512": img_g, "calib": calib}
+    p = os.path.join(tmp_path, "out.ply")
+    out = recon.gen_mesh(data, p, resolution=32)
+    v, f, c = load_ply(p)
+    assert len(v) == len(out["verts"]) and c is not None
+    np.testing.assert_allclose(v, out["verts"], rtol=1e-6)
+    np.testing.assert_array_equal(f, out["faces"])
+
+
 def test_sparse_two_phase_matches_dense():
     from rgbd_pifuhd_tpu.recon.grid import (
         eval_grid_two_phase_sparse, densify_sparse_volume)
