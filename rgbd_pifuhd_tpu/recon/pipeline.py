@@ -176,10 +176,12 @@ class Reconstructor:
 
         if getattr(opt, "normal_mode", "fd") == "grad":
             # autodiff normals: ONE reverse-mode sweep of the fine field
-            # (forward + input-grad backward ~= 2x one forward) instead of
-            # the 4-tap fd stencil (4x one forward).  The field is scalar
-            # and pointwise, so grad of the per-chunk sum yields every
-            # vertex's own gradient.
+            # instead of the 4-tap fd stencil.  The field is scalar and
+            # pointwise, so grad of the per-chunk sum yields every
+            # vertex's own gradient — EXACT, no delta hyper-parameter.
+            # Measured on TPU v5 lite @1.3M verts: 1.03 s vs fd's 0.69 s
+            # (the VJP through the gather/MLP chain outweighs the 3 extra
+            # batched taps); opt in for exactness, not speed.
             def _normals(params, l_feats, g_feats, vq, lo, scale, calib):
                 verts = _dequantize_verts(vq, lo, scale)
 

@@ -82,12 +82,16 @@ def test_checkpoint_roundtrip_and_opt_restore(synth_root, tmp_path):
 
     # restore-opt semantics: checkpoint wins except the 4 kept fields
     cli = Options(dataroot="/other", resolution=64, results_path="/res",
-                  load_size=256)
+                  load_size=256, mesh_format="ply", normal_mode="grad")
     restored, opt_g = ckpt.restore_options(cli, state)
     assert restored.dataroot == "/other"          # kept from CLI
     assert restored.resolution == 64              # kept from CLI
     assert restored.num_sample_inout == opt.num_sample_inout  # from ckpt
     assert restored.netG.hg_dim == opt.netG.hg_dim
+    # output preferences are CLI-kept too: the (fd/obj-era) checkpoint
+    # must not silently override this run's export format / normal mode
+    assert restored.mesh_format == "ply"
+    assert restored.normal_mode == "grad"
 
     # params round-trip exactly
     flat_a = jax.tree_util.tree_leaves(params)
