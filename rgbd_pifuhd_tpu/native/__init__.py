@@ -122,6 +122,37 @@ def load_marching():
                 ctypes.c_int64,                    # n_cells
             ] + out_args
             lib.mt_free.argtypes = [ctypes.c_void_p]
+            # incremental session API (slab-pipelined marching+coloring)
+            lib.mt3_begin.restype = ctypes.c_void_p
+            lib.mt3_begin.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),   # corner_q [(n+1)^3]
+                ctypes.POINTER(ctypes.c_int32),   # top8_idx [K1]
+                ctypes.c_int64,                    # K1
+                ctypes.POINTER(ctypes.c_uint8),   # sub_q [K1, 27]
+                ctypes.POINTER(ctypes.c_int32),   # top4_idx [K2]
+                ctypes.c_int64,                    # K2
+                ctypes.POINTER(ctypes.c_uint8),   # refined packed
+                ctypes.c_int64,                    # n
+                ctypes.c_int,                      # factor
+                ctypes.c_int64,                    # res
+                ctypes.c_int,                      # pack_bits
+                ctypes.c_float,                    # band_scale
+                ctypes.c_float,                    # thresh
+                ctypes.POINTER(ctypes.c_int8),    # case table
+                ctypes.c_int,                      # n_threads
+            ]
+            lib.mt3_step.restype = ctypes.c_int
+            lib.mt3_step.argtypes = [
+                ctypes.c_void_p,                   # session
+                ctypes.POINTER(ctypes.c_int32),   # cells [K', 3]
+                ctypes.c_int64,                    # n_cells
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),  # new verts
+                ctypes.POINTER(ctypes.c_int64),   # n_new_verts
+                ctypes.POINTER(ctypes.c_int64),   # base_vert
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),  # faces
+                ctypes.POINTER(ctypes.c_int64),   # n_faces
+            ]
+            lib.mt3_end.argtypes = [ctypes.c_void_p]
         _CACHE["marching"] = lib
         return lib
 

@@ -304,21 +304,17 @@ static void merge_outputs(std::vector<ThreadOut>& outs,
   std::memcpy(*faces_out, faces.data(), faces.size() * sizeof(int32_t));
 }
 
-// Masked cube scan over cell ranges with a shared visited bitmap and
-// per-cell L1 tiles — used by every sparse-direct kernel.
+// Masked cube scan over a cell list with a caller-owned visited bitmap and
+// per-cell L1 tiles; per-thread outputs are appended to `outs`.  Shared by
+// the one-shot sparse kernels (run_masked_scan) and the incremental
+// session API (mt3_step), whose bitmap persists across calls.
 template <typename Field>
-static void run_masked_scan(const Field& fld, int64_t res, int factor,
+static void scan_cells_into(const Field& fld, int64_t res, int factor,
                             float thresh, const int8_t* case_table,
                             int n_threads, const int32_t* cells,
-                            int64_t n_cells, float** verts_out,
-                            int64_t* n_verts, int32_t** faces_out,
-                            int64_t* n_faces) {
+                            int64_t n_cells, unsigned char* vis,
+                            std::vector<ThreadOut>& outs) {
   const int64_t ncx = res - 1, ncy = res - 1, ncz = res - 1;
-  const int64_t n_cubes = ncx * ncy * ncz;
-  std::vector<unsigned char> visited((n_cubes + 7) / 8, 0);
-  unsigned char* vis = visited.data();
-
-  std::vector<ThreadOut> outs(n_threads);
   std::vector<std::thread> threads;
 
   const bool single = n_threads == 1;
@@ -381,9 +377,114 @@ static void run_masked_scan(const Field& fld, int64_t res, int factor,
 
   for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker, t);
   for (auto& th : threads) th.join();
+}
 
+// One-shot entry: fresh visited bitmap, cross-thread merge, malloc'd output.
+template <typename Field>
+static void run_masked_scan(const Field& fld, int64_t res, int factor,
+                            float thresh, const int8_t* case_table,
+                            int n_threads, const int32_t* cells,
+                            int64_t n_cells, float** verts_out,
+                            int64_t* n_verts, int32_t** faces_out,
+                            int64_t* n_faces) {
+  const int64_t n_cubes = (res - 1) * (res - 1) * (res - 1);
+  std::vector<unsigned char> visited((n_cubes + 7) / 8, 0);
+  std::vector<ThreadOut> outs(n_threads);
+  scan_cells_into(fld, res, factor, thresh, case_table, n_threads, cells,
+                  n_cells, visited.data(), outs);
   merge_outputs(outs, verts_out, n_verts, faces_out, n_faces);
 }
+
+// Owning storage for the derived SparseField3 lookup arrays (the big
+// packed inputs stay caller-owned).
+struct Sparse3Data {
+  std::vector<float> lut, fill8, fill4;
+  std::vector<int32_t> block_of8, block_of4;
+};
+
+static void build_sparse3_data(const uint8_t* corner_q,
+                               const int32_t* top8_idx, int64_t K1,
+                               const uint8_t* sub_q,
+                               const int32_t* top4_idx, int64_t K2,
+                               int64_t n, int pack_bits, float band_scale,
+                               int n_threads, Sparse3Data& d) {
+  const int levels = (1 << pack_bits) - 1;
+  d.lut.resize(levels + 1);
+  for (int q = 0; q <= levels; ++q)
+    d.lut[q] = ((float)q / (float)levels - 0.5f) / band_scale + 0.5f;
+
+  const int64_t n3 = n * n * n;
+  const int64_t n1 = n + 1;
+  d.block_of8.assign(n3, -1);
+  for (int64_t k = 0; k < K1; ++k) d.block_of8[top8_idx[k]] = (int32_t)k;
+  d.block_of4.assign(K1 * 8, -1);
+  for (int64_t k = 0; k < K2; ++k) d.block_of4[top4_idx[k]] = (int32_t)k;
+
+  // fill8 from the stride-8 corner lattice
+  d.fill8.resize(n3);
+  {
+    std::vector<std::thread> ths;
+    const int nt = n_threads;
+    auto fw = [&](int t) {
+      const int64_t c0 = n3 * t / nt, c1 = n3 * (t + 1) / nt;
+      for (int64_t cidx = c0; cidx < c1; ++cidx) {
+        const int64_t cx = cidx / (n * n), cy = (cidx / n) % n,
+                      cz = cidx % n;
+        float mn = 2.f, mx = -1.f;
+        for (int dx = 0; dx < 2; ++dx)
+          for (int dy = 0; dy < 2; ++dy)
+            for (int dz = 0; dz < 2; ++dz) {
+              const float v =
+                  d.lut[corner_q[((cx + dx) * n1 + (cy + dy)) * n1
+                                 + (cz + dz)]];
+              mn = v < mn ? v : mn;
+              mx = v > mx ? v : mx;
+            }
+        d.fill8[cidx] = 0.5f * (mn + mx);
+      }
+    };
+    for (int t = 0; t < nt; ++t) ths.emplace_back(fw, t);
+    for (auto& th : ths) th.join();
+  }
+
+  // fill4 from each active cell's 3x3x3 stride-4 lattice (sub_q [K1, 27])
+  d.fill4.resize(K1 * 8);
+  for (int64_t k = 0; k < K1; ++k) {
+    const uint8_t* s = sub_q + k * 27;
+    for (int loc = 0; loc < 8; ++loc) {
+      const int sx = (loc >> 2) & 1, sy = (loc >> 1) & 1, sz = loc & 1;
+      float mn = 2.f, mx = -1.f;
+      for (int dx = 0; dx < 2; ++dx)
+        for (int dy = 0; dy < 2; ++dy)
+          for (int dz = 0; dz < 2; ++dz) {
+            const float v =
+                d.lut[s[((sx + dx) * 3 + (sy + dy)) * 3 + (sz + dz)]];
+            mn = v < mn ? v : mn;
+            mx = v > mx ? v : mx;
+          }
+      d.fill4[k * 8 + loc] = 0.5f * (mn + mx);
+    }
+  }
+}
+
+// Incremental marching session over the three-phase sparse field: the
+// visited bitmap and the edge-key -> GLOBAL-vertex-index map persist
+// across step calls, so marching the cell list in slabs yields exactly
+// the one-shot mesh (same dedup, same indices) while the caller overlaps
+// device work (vertex coloring) with the next slab's host scan.
+struct MT3Session {
+  Sparse3Data data;
+  SparseField3 fld;
+  const uint8_t* refined;  // caller-owned; must outlive the session
+  int64_t res;
+  int factor;
+  float thresh;
+  std::vector<int8_t> case_table;
+  int n_threads;
+  std::vector<unsigned char> visited;
+  EdgeMap gmap{1 << 15};
+  int64_t total_verts = 0;
+};
 
 }  // namespace
 
@@ -583,73 +684,101 @@ int mt_run_sparse3(const uint8_t* corner_q, const int32_t* top8_idx,
   if ((int64_t)n_threads > n_cells)
     n_threads = (int)(n_cells > 0 ? n_cells : 1);
 
-  const int levels = (1 << pack_bits) - 1;
-  std::vector<float> lut(levels + 1);
-  for (int q = 0; q <= levels; ++q)
-    lut[q] = ((float)q / (float)levels - 0.5f) / band_scale + 0.5f;
-
-  const int64_t n3 = n * n * n;
-  const int64_t n1 = n + 1;
-  std::vector<int32_t> block_of8(n3, -1);
-  for (int64_t k = 0; k < K1; ++k) block_of8[top8_idx[k]] = (int32_t)k;
-  std::vector<int32_t> block_of4(K1 * 8, -1);
-  for (int64_t k = 0; k < K2; ++k) block_of4[top4_idx[k]] = (int32_t)k;
-
-  // fill8 from the stride-8 corner lattice
-  std::vector<float> fill8(n3);
-  {
-    std::vector<std::thread> ths;
-    const int nt = n_threads;
-    auto fw = [&](int t) {
-      const int64_t c0 = n3 * t / nt, c1 = n3 * (t + 1) / nt;
-      for (int64_t cidx = c0; cidx < c1; ++cidx) {
-        const int64_t cx = cidx / (n * n), cy = (cidx / n) % n,
-                      cz = cidx % n;
-        float mn = 2.f, mx = -1.f;
-        for (int dx = 0; dx < 2; ++dx)
-          for (int dy = 0; dy < 2; ++dy)
-            for (int dz = 0; dz < 2; ++dz) {
-              const float v = lut[corner_q[((cx + dx) * n1 + (cy + dy)) * n1
-                                           + (cz + dz)]];
-              mn = v < mn ? v : mn;
-              mx = v > mx ? v : mx;
-            }
-        fill8[cidx] = 0.5f * (mn + mx);
-      }
-    };
-    for (int t = 0; t < nt; ++t) ths.emplace_back(fw, t);
-    for (auto& th : ths) th.join();
-  }
-
-  // fill4 from each active cell's 3x3x3 stride-4 lattice (sub_q [K1, 27])
-  std::vector<float> fill4(K1 * 8);
-  for (int64_t k = 0; k < K1; ++k) {
-    const uint8_t* s = sub_q + k * 27;
-    for (int loc = 0; loc < 8; ++loc) {
-      const int sx = (loc >> 2) & 1, sy = (loc >> 1) & 1, sz = loc & 1;
-      float mn = 2.f, mx = -1.f;
-      for (int dx = 0; dx < 2; ++dx)
-        for (int dy = 0; dy < 2; ++dy)
-          for (int dz = 0; dz < 2; ++dz) {
-            const float v =
-                lut[s[((sx + dx) * 3 + (sy + dy)) * 3 + (sz + dz)]];
-            mn = v < mn ? v : mn;
-            mx = v > mx ? v : mx;
-          }
-      fill4[k * 8 + loc] = 0.5f * (mn + mx);
-    }
-  }
-
+  Sparse3Data d;
+  build_sparse3_data(corner_q, top8_idx, K1, sub_q, top4_idx, K2, n,
+                     pack_bits, band_scale, n_threads, d);
   const int per_byte = 8 / pack_bits;
   const SparseField3 fld{
-      refined, block_of8.data(), block_of4.data(), fill8.data(),
-      fill4.data(), lut.data(), n, res, res, res * res,
+      refined, d.block_of8.data(), d.block_of4.data(), d.fill8.data(),
+      d.fill4.data(), d.lut.data(), n, res, res, res * res,
       (int64_t)(64 / per_byte), per_byte == 2};
 
   run_masked_scan(fld, res, factor, thresh, case_table, n_threads, cells,
                   n_cells, verts_out, n_verts, faces_out, n_faces);
   return 0;
 }
+
+// ---- incremental session API (slab-pipelined marching + coloring) ----
+// mt3_begin builds the field views once; mt3_step marches one slab of the
+// cell list and returns only the NEW vertices it appended (faces carry
+// GLOBAL vertex indices, so concatenating every step's outputs reproduces
+// the one-shot mt_run_sparse3 mesh exactly).  The packed inputs
+// (refined + the arrays referenced by Sparse3Data's build) are read during
+// begin/step and must stay alive until mt3_end.
+void* mt3_begin(const uint8_t* corner_q, const int32_t* top8_idx,
+                int64_t K1, const uint8_t* sub_q, const int32_t* top4_idx,
+                int64_t K2, const uint8_t* refined, int64_t n, int factor,
+                int64_t res, int pack_bits, float band_scale, float thresh,
+                const int8_t* case_table, int n_threads) {
+  if (factor != 8) return nullptr;
+  if (n_threads <= 0) {
+    n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = 1;
+  }
+  MT3Session* s = new MT3Session();
+  build_sparse3_data(corner_q, top8_idx, K1, sub_q, top4_idx, K2, n,
+                     pack_bits, band_scale, n_threads, s->data);
+  const int per_byte = 8 / pack_bits;
+  s->fld = SparseField3{
+      refined, s->data.block_of8.data(), s->data.block_of4.data(),
+      s->data.fill8.data(), s->data.fill4.data(), s->data.lut.data(), n,
+      res, res, res * res, (int64_t)(64 / per_byte), per_byte == 2};
+  s->refined = refined;
+  s->res = res;
+  s->factor = factor;
+  s->thresh = thresh;
+  s->case_table.assign(case_table, case_table + 16 * 6);
+  s->n_threads = n_threads;
+  const int64_t n_cubes = (res - 1) * (res - 1) * (res - 1);
+  s->visited.assign((n_cubes + 7) / 8, 0);
+  return s;
+}
+
+int mt3_step(void* sess, const int32_t* cells, int64_t n_cells,
+             float** new_verts, int64_t* n_new_verts, int64_t* base_vert,
+             int32_t** faces_out, int64_t* n_faces) {
+  MT3Session* s = (MT3Session*)sess;
+  if (!s) return 1;
+  int nt = s->n_threads;
+  if ((int64_t)nt > n_cells) nt = (int)(n_cells > 0 ? n_cells : 1);
+  std::vector<ThreadOut> outs(nt);
+  scan_cells_into(s->fld, s->res, s->factor, s->thresh,
+                  s->case_table.data(), nt, cells, n_cells,
+                  s->visited.data(), outs);
+  // merge this step's thread outputs through the SESSION-global edge map:
+  // verts already seen in an earlier step (shared slab-boundary edges)
+  // resolve to their existing global index; new ones are appended.
+  *base_vert = s->total_verts;
+  std::vector<Vec3> verts;
+  std::vector<int32_t> faces;
+  for (auto& o : outs) {
+    std::vector<int32_t> remap(o.verts.size());
+    for (size_t i = 0; i < o.verts.size(); ++i) {
+      int32_t found = s->gmap.find(o.vert_keys[i]);
+      if (found < 0) {
+        verts.push_back(o.verts[i]);
+        found = (int32_t)(s->total_verts + (int64_t)verts.size() - 1);
+        s->gmap.put(o.vert_keys[i], found);
+      }
+      remap[i] = found;
+    }
+    for (size_t i = 0; i < o.faces.size(); ++i)
+      faces.push_back(remap[o.faces[i]]);
+  }
+  s->total_verts += (int64_t)verts.size();
+  *n_new_verts = (int64_t)verts.size();
+  *n_faces = (int64_t)(faces.size() / 3);
+  *new_verts = (float*)std::malloc(
+      verts.size() * sizeof(Vec3) > 0 ? verts.size() * sizeof(Vec3) : 1);
+  std::memcpy(*new_verts, verts.data(), verts.size() * sizeof(Vec3));
+  *faces_out = (int32_t*)std::malloc(
+      faces.size() * sizeof(int32_t) > 0 ? faces.size() * sizeof(int32_t)
+                                         : 1);
+  std::memcpy(*faces_out, faces.data(), faces.size() * sizeof(int32_t));
+  return 0;
+}
+
+void mt3_end(void* sess) { delete (MT3Session*)sess; }
 
 void mt_free(void* p) { std::free(p); }
 

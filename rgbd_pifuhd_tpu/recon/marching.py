@@ -305,6 +305,103 @@ def marching_tetrahedra_sparse3(
     return verts, faces
 
 
+class IncrementalMarcher3:
+    """Slab-incremental marching over the three-phase sparse field.
+
+    Wraps the native ``mt3_begin/step/end`` session: the visited bitmap and
+    the edge-key -> global-vertex-index map live in the session, so feeding
+    the scan-cell list in slabs produces EXACTLY the one-shot
+    ``marching_tetrahedra_sparse3`` mesh (same dedup, same global indices)
+    while the caller overlaps device work (vertex coloring dispatch) with
+    the next slab's host scan.  Use as a context manager; ``step`` returns
+    ``(new_verts, faces)`` where ``new_verts`` are the vertices this slab
+    APPENDED (index space) and ``faces`` carry global vertex indices.
+
+    ``IncrementalMarcher3.supported()`` is False without the native lib;
+    callers then fall back to the one-shot kernel (no overlap).
+    """
+
+    @staticmethod
+    def supported() -> bool:
+        from ..native import load_marching
+        lib = load_marching()
+        return lib is not None and getattr(lib, "mt3_begin", None) is not None
+
+    def __init__(self, corner_q, top8_idx, sub_q, top4_idx, refined,
+                 resolution: int, factor: int = 8, pack_bits: int = 4,
+                 band_scale: float = 4.0, threshold: float = 0.5):
+        from ..native import load_marching
+        import ctypes
+
+        self._lib = load_marching()
+        # keep every input buffer alive for the session's lifetime
+        self._keep = (
+            np.ascontiguousarray(corner_q, dtype=np.uint8).reshape(-1),
+            np.ascontiguousarray(top8_idx, dtype=np.int32).reshape(-1),
+            np.ascontiguousarray(sub_q, dtype=np.uint8),
+            np.ascontiguousarray(top4_idx, dtype=np.int32).reshape(-1),
+            np.ascontiguousarray(refined, dtype=np.uint8),
+            np.ascontiguousarray(_case_table_packed()),
+        )
+        cq, t8, sq, t4, rf, table = self._keep
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        n = resolution // factor
+        self._sess = self._lib.mt3_begin(
+            cq.ctypes.data_as(u8p),
+            t8.ctypes.data_as(i32p), ctypes.c_int64(len(t8)),
+            sq.ctypes.data_as(u8p),
+            t4.ctypes.data_as(i32p), ctypes.c_int64(len(t4)),
+            rf.ctypes.data_as(u8p),
+            ctypes.c_int64(n), ctypes.c_int(factor),
+            ctypes.c_int64(resolution), ctypes.c_int(pack_bits),
+            ctypes.c_float(band_scale), ctypes.c_float(threshold),
+            table.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), 0)
+        if not self._sess:
+            raise RuntimeError("mt3_begin failed")
+        self.total_verts = 0
+
+    def step(self, cell_origins: np.ndarray):
+        import ctypes
+
+        cells = np.ascontiguousarray(cell_origins, dtype=np.int32)
+        vp = ctypes.POINTER(ctypes.c_float)()
+        fp = ctypes.POINTER(ctypes.c_int32)()
+        nv = ctypes.c_int64()
+        base = ctypes.c_int64()
+        nf = ctypes.c_int64()
+        rc = self._lib.mt3_step(
+            self._sess,
+            cells.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int64(len(cells)),
+            ctypes.byref(vp), ctypes.byref(nv), ctypes.byref(base),
+            ctypes.byref(fp), ctypes.byref(nf))
+        if rc != 0:
+            raise RuntimeError(f"mt3_step failed (rc={rc})")
+        verts = (np.ctypeslib.as_array(vp, shape=(nv.value, 3)).copy()
+                 if nv.value else np.zeros((0, 3), np.float32))
+        faces = (np.ctypeslib.as_array(fp, shape=(nf.value, 3)).copy()
+                 if nf.value else np.zeros((0, 3), np.int32))
+        self._lib.mt_free(vp)
+        self._lib.mt_free(fp)
+        self.total_verts = base.value + nv.value
+        return verts, faces
+
+    def close(self):
+        if getattr(self, "_sess", None):
+            self._lib.mt3_end(self._sess)
+            self._sess = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        self.close()
+
+
 def _marching_native(volume: np.ndarray, threshold: float):
     """C++ kernel path; returns None if the native lib is unavailable."""
     from ..native import load_marching

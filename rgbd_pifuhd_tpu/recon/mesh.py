@@ -374,14 +374,21 @@ def keep_largest_component(verts: np.ndarray, faces: np.ndarray,
 
 
 def compute_vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
-    """Area-weighted per-vertex normals (normalized)."""
+    """Area-weighted per-vertex normals (normalized).
+
+    Scatter-adds via ``np.bincount`` — ~20x faster than ``np.add.at`` at
+    multi-million-face meshes (the `normal_mode='mesh'` coloring path is
+    chosen for speed, so the host scatter must not become the new tail).
+    """
     v0 = verts[faces[:, 0]]
     v1 = verts[faces[:, 1]]
     v2 = verts[faces[:, 2]]
     fn = np.cross(v1 - v0, v2 - v0)  # magnitude == 2*area
-    normals = np.zeros_like(verts, dtype=np.float64)
-    for k in range(3):
-        np.add.at(normals, faces[:, k], fn)
+    normals = np.zeros((len(verts), 3), dtype=np.float64)
+    idx = faces.reshape(-1)  # [3F] — each face scatters into 3 verts
+    for c in range(3):
+        w = np.broadcast_to(fn[:, c:c + 1], (len(fn), 3)).reshape(-1)
+        normals[:, c] = np.bincount(idx, weights=w, minlength=len(verts))
     lens = np.linalg.norm(normals, axis=1, keepdims=True)
     return (normals / np.maximum(lens, 1e-12)).astype(np.float32)
 

@@ -99,6 +99,31 @@ class _ColorJob:
         return cols[0] if len(cols) == 1 else np.concatenate(cols, axis=0)
 
 
+class _HostColorJob:
+    """`_ColorJob`-shaped handle for host-computed colors (the
+    `normal_mode='mesh'` geometric path dispatches no device work).
+    Accepts the color array directly or a thunk computing it — the thunk
+    defers the host work to the consumer (e.g. `gen_mesh_many`'s worker
+    thread) and caches the result."""
+
+    def __init__(self, colors=None, compute=None):
+        self._c = None if colors is None else np.asarray(colors, np.float32)
+        self._fn = compute
+
+    def _resolve(self) -> np.ndarray:
+        if self._c is None:
+            self._c = np.asarray(self._fn(), np.float32)
+        return self._c
+
+    def groups(self):
+        c = self._resolve()
+        if len(c):
+            yield 0, c
+
+    def __call__(self) -> np.ndarray:
+        return self._resolve()
+
+
 def _dequantize_verts(vq: jax.Array, lo: jax.Array,
                       scale: jax.Array) -> jax.Array:
     """uint16 bbox-fixed-point -> world f32 (host->device side of the
@@ -458,15 +483,19 @@ class Reconstructor:
             threshold=thresh)
 
     @staticmethod
-    def _to_world(verts_idx: np.ndarray, faces: np.ndarray, calib,
-                  res: int):
-        """Index -> NDC -> world (trans_mat = calib_inv @ mat),
-        det-flip winding (reference mesh_util.py:86-92)."""
-        from ..native import load_meshio
-
+    def _grid_to_world_mat(calib, res: int) -> np.ndarray:
+        """Index -> NDC -> world transform (trans_mat = calib_inv @ mat,
+        reference mesh_util.py:86-92)."""
         mat = create_grid_transform(res)
         calib_inv = np.linalg.inv(np.asarray(calib, np.float64))
-        trans_mat = calib_inv @ mat
+        return calib_inv @ mat
+
+    @staticmethod
+    def _transform_pts(verts_idx: np.ndarray,
+                       trans_mat: np.ndarray) -> np.ndarray:
+        """Affine-transform [V, 3] points (C++ kernel, NumPy fallback)."""
+        from ..native import load_meshio
+
         lib = load_meshio()
         if lib is not None and len(verts_idx) > 0:
             import ctypes
@@ -479,9 +508,16 @@ class Reconstructor:
                 ctypes.c_int64(len(src)),
                 m.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
                 verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), 0)
-        else:
-            verts = (verts_idx @ trans_mat[:3, :3].T
-                     + trans_mat[:3, 3]).astype(np.float32)
+            return verts
+        return (verts_idx @ trans_mat[:3, :3].T
+                + trans_mat[:3, 3]).astype(np.float32)
+
+    @classmethod
+    def _to_world(cls, verts_idx: np.ndarray, faces: np.ndarray, calib,
+                  res: int):
+        """Index -> world + det-flip winding (reference mesh_util.py:86-92)."""
+        trans_mat = cls._grid_to_world_mat(calib, res)
+        verts = cls._transform_pts(verts_idx, trans_mat)
         if np.linalg.det(trans_mat[:3, :3]) < 0.0:
             faces = faces[:, ::-1]
         return verts, faces
@@ -517,6 +553,38 @@ class Reconstructor:
     # bounded peak memory (~1 GB of MLP temps per chunk).
     _COLOR_CHUNK = 65536
 
+    @staticmethod
+    def _quantize_u16(verts: np.ndarray, rows_padded: int):
+        """[V, 3] world verts -> ([rows_padded, 3] u16 bbox-fixed-point,
+        lo, scale).  Fused bbox+quantize in C++ (two passes instead of
+        numpy's 4+ with multi-MB temporaries — measurable on one host
+        core); rows past V stay zero."""
+        from ..native import load_meshio
+
+        V = len(verts)
+        vq = np.zeros((rows_padded, 3), np.uint16)
+        lib = load_meshio()
+        if lib is not None and V > 0:
+            import ctypes
+            src = np.ascontiguousarray(verts, np.float32)
+            lo = np.empty(3, np.float32)
+            scale = np.empty(3, np.float32)
+            lib.bbox_quantize_u16(
+                src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                ctypes.c_int64(V),
+                lo.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                scale.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                vq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), 0)
+        elif V > 0:
+            lo = verts.min(axis=0).astype(np.float32)
+            scale = ((verts.max(axis=0) - lo) / 65535.0).astype(np.float32)
+            scale = np.maximum(scale, 1e-12)
+            vq[:V] = np.round((verts - lo) / scale).astype(np.uint16)
+        else:
+            lo = np.zeros(3, np.float32)
+            scale = np.ones(3, np.float32)
+        return vq, lo, scale
+
     def _chunked_start(self, fn_many, verts: np.ndarray):
         """Chunks go through jitted lax.map calls in up to 4 macro-groups:
         group g+1's host->device upload overlaps group g's device compute
@@ -535,26 +603,7 @@ class Reconstructor:
         K = max(1, -(-V // chunk))
         if K > 4:
             K = -(-K // 4) * 4
-        lib = load_meshio()
-        vq = np.zeros((K * chunk, 3), np.uint16)
-        if lib is not None and V > 0:
-            # fused bbox+quantize in C++: two passes instead of numpy's 4+
-            # with multi-MB temporaries (measurable on the one host core)
-            import ctypes
-            src = np.ascontiguousarray(verts, np.float32)
-            lo = np.empty(3, np.float32)
-            scale = np.empty(3, np.float32)
-            lib.bbox_quantize_u16(
-                src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                ctypes.c_int64(V),
-                lo.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                scale.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                vq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), 0)
-        else:
-            lo = verts.min(axis=0).astype(np.float32)
-            scale = ((verts.max(axis=0) - lo) / 65535.0).astype(np.float32)
-            scale = np.maximum(scale, 1e-12)
-            vq[:V] = np.round((verts - lo) / scale).astype(np.uint16)
+        vq, lo, scale = self._quantize_u16(verts, K * chunk)
         vqs = vq.reshape(K, chunk, 3)
         lo_d, scale_d = jnp.asarray(lo), jnp.asarray(scale)
         if K % 4 == 0 and K > 4:
@@ -582,6 +631,92 @@ class Reconstructor:
     def color_by_normals(self, verts: np.ndarray, feats, calib) -> np.ndarray:
         """fd-normal coloring (reference reconstruction.py:60-70)."""
         return self.color_by_normals_start(verts, feats, calib)()
+
+    def _extract_and_color_overlap(self, field, res: int, calib, feats):
+        """Slab-incremental marching with per-group fd-normal dispatch.
+
+        The three-phase sparse field is marched in slabs of the scan-cell
+        list (native ``mt3`` session: persistent visited bitmap + global
+        edge-dedup, so the mesh is EXACTLY the one-shot kernel's); as
+        vertex groups of 4x65536 complete, their world transform +
+        u16-quantization run on host and their fd-normal coloring is
+        dispatched to the device — so the device computes colors WHILE the
+        host marches the remaining cells, instead of idling through the
+        ~0.5 s marching tail and only then starting the ~0.5 s color MLP.
+        Dispatch shapes are fixed ([4, 65536, 3] full groups, [k<=4, ...]
+        padded tail), so at most four compiled variants ever exist and
+        every mesh size reuses them.
+
+        Returns ``(verts_world, faces, job)`` with ``job`` a `_ColorJob`
+        whose groups stream to the OBJ writer.  Requires a 6-tuple
+        (three-phase) field and the native marcher; callers fall back to
+        the sequential extract -> color path otherwise.
+        """
+        from .marching import IncrementalMarcher3
+
+        corner, top8, sub_q, top4, refined, cells = field
+        l_feats, g_feats = feats
+        calib_j = jnp.asarray(calib, jnp.float32)
+        trans_mat = self._grid_to_world_mat(calib, res)
+        flip = np.linalg.det(trans_mat[:3, :3]) < 0.0
+
+        chunk = self._COLOR_CHUNK
+        group_rows = 4 * chunk
+        parts: list = []        # dispatched device color groups, row order
+        vparts: list = []       # world-vert blocks, row order
+        fparts: list = []
+        pending: list = []      # world-vert blocks awaiting dispatch
+        n_pending = 0
+
+        def dispatch(block: np.ndarray, k: int):
+            vq, lo, scale = self._quantize_u16(block, k * chunk)
+            parts.append(self._normals_many(
+                self.params, l_feats, g_feats,
+                jnp.asarray(vq.reshape(k, chunk, 3)),
+                jnp.asarray(lo), jnp.asarray(scale), calib_j))
+
+        def take_group() -> np.ndarray:
+            nonlocal n_pending
+            out, got = [], 0
+            while got < group_rows:
+                a = pending[0]
+                need = group_rows - got
+                if len(a) <= need:
+                    out.append(pending.pop(0))
+                    got += len(a)
+                else:
+                    out.append(a[:need])
+                    pending[0] = a[need:]
+                    got += need
+            n_pending -= group_rows
+            return out[0] if len(out) == 1 else np.concatenate(out)
+
+        n_slabs = int(max(1, min(8, len(cells) // 512)))
+        bounds = np.linspace(0, len(cells), n_slabs + 1).astype(int)
+        with IncrementalMarcher3(corner, top8, sub_q, top4, refined,
+                                 res) as marcher:
+            for s in range(n_slabs):
+                vi, fc = marcher.step(cells[bounds[s]:bounds[s + 1]])
+                if len(fc):
+                    fparts.append(fc[:, ::-1] if flip else fc)
+                if len(vi):
+                    vw = self._transform_pts(vi, trans_mat)
+                    vparts.append(vw)
+                    pending.append(vw)
+                    n_pending += len(vw)
+                while n_pending >= group_rows:
+                    dispatch(take_group(), 4)
+        if n_pending:
+            tail = (pending[0] if len(pending) == 1
+                    else np.concatenate(pending))
+            dispatch(tail, -(-n_pending // chunk))
+        verts = (vparts[0] if len(vparts) == 1
+                 else np.concatenate(vparts)) if vparts \
+            else np.zeros((0, 3), np.float32)
+        faces = (fparts[0] if len(fparts) == 1
+                 else np.concatenate(fparts)) if fparts \
+            else np.zeros((0, 3), np.int32)
+        return verts, faces, _ColorJob(parts, len(verts))
 
     def color_by_image(self, verts: np.ndarray, image: jax.Array,
                        calib) -> np.ndarray:
@@ -666,14 +801,24 @@ class Reconstructor:
         return ok and rc == 0
 
     def _finish_normals(self, verts, faces, feats, data, save_path,
-                        montage_img: np.ndarray | None = None) -> dict:
+                        montage_img: np.ndarray | None = None,
+                        job=None) -> dict:
         from .mesh import format_faces_block
 
         t0 = time.time()
-        # dispatch coloring, then run the host-only tail work (face-block
+        # dispatch coloring (unless the overlap path already did, during
+        # marching), then run the host-only tail work (face-block
         # formatting, montage PNG encode) WHILE the device computes the
         # fd-normal MLP taps
-        job = self.color_by_normals_start(verts, feats, data["calib"])
+        if job is None:
+            if getattr(self.opt, "normal_mode", "fd") == "mesh":
+                # geometric normals: pure host, no device color pass
+                from .mesh import compute_vertex_normals
+                job = _HostColorJob(compute=lambda: (
+                    compute_vertex_normals(verts, faces) * 0.5 + 0.5))
+            else:
+                job = self.color_by_normals_start(verts, feats,
+                                                  data["calib"])
         ply = save_path.endswith(".ply")
         faces_blob = None if ply else format_faces_block(faces)
         if montage_img is not None:
@@ -777,23 +922,37 @@ class Reconstructor:
             target=lambda: holder.update(m=np.asarray(montage_dev)))
         puller.start()
 
+        job = None
         if use_oct:
+            from .marching import IncrementalMarcher3
+
             field = self.evaluate_field(l_feats, g_feats, calib, res)
-            verts_idx, faces = self.extract_mesh(field, res)
+            if (len(field) == 6 and IncrementalMarcher3.supported()
+                    and getattr(self.opt, "normal_mode", "fd") != "mesh"):
+                # slab-pipelined marching: coloring dispatches DURING the
+                # host scan, so the device never idles through it
+                verts, faces, job = self._extract_and_color_overlap(
+                    field, res, data["calib"], feats)
+            else:
+                verts_idx, faces = self.extract_mesh(field, res)
         else:
             vol, _ = self.occupancy_volume(l_feats, g_feats, calib, res,
                                            use_octree=False)
             verts_idx, faces = marching_tetrahedra(vol)
-        if len(verts_idx) == 0:
+        if job is None:
+            if len(verts_idx) == 0:
+                puller.join()
+                raise RuntimeError("marching cubes produced an empty mesh")
+            verts, faces = self._to_world(verts_idx, faces, calib, res)
+        elif len(verts) == 0:
             puller.join()
             raise RuntimeError("marching cubes produced an empty mesh")
-        verts, faces = self._to_world(verts_idx, faces, calib, res)
         t1 = time.time()
 
         puller.join()
         montage = holder["m"][:, :, ::-1]
         out = self._finish_normals(verts, faces, feats, data, save_path,
-                                   montage_img=montage)
+                                   montage_img=montage, job=job)
         t2 = time.time()
         out.update(secs=t2 - t0, grid_diag=self.last_grid_diag,
                    phases={"reconstruct": round(t1 - t0, 4),
@@ -912,20 +1071,42 @@ class Reconstructor:
                 montage_dev = self._montage_device(data, feats)
                 calib = jnp.asarray(data["calib"], jnp.float32)
                 field = self.evaluate_field(feats[0], feats[1], calib, res)
-                verts_idx, faces = self.extract_mesh(field, res)
-                if len(verts_idx) == 0:
-                    raise RuntimeError("marching produced an empty mesh")
-                verts, faces = self._to_world(verts_idx, faces,
-                                              data["calib"], res)
                 # DISPATCH coloring on the main thread (device compute
                 # must never be enqueued from the worker); the worker
-                # pulls the results
-                if use_color == 0:
-                    finish_colors = self.color_by_normals_start(
-                        verts, feats, data["calib"])
+                # pulls the results.  The overlap path interleaves the
+                # dispatches with the marching slabs.
+                from .marching import IncrementalMarcher3
+                mesh_normals = (use_color == 0 and getattr(
+                    self.opt, "normal_mode", "fd") == "mesh")
+                if (use_color == 0 and not mesh_normals
+                        and len(field) == 6
+                        and IncrementalMarcher3.supported()):
+                    verts, faces, finish_colors = \
+                        self._extract_and_color_overlap(
+                            field, res, data["calib"], feats)
+                    if len(verts) == 0:
+                        raise RuntimeError(
+                            "marching produced an empty mesh")
                 else:
-                    finish_colors = self._sample_img_colors_start(
-                        verts, data, cleanup=use_color == 2)
+                    verts_idx, faces = self.extract_mesh(field, res)
+                    if len(verts_idx) == 0:
+                        raise RuntimeError(
+                            "marching produced an empty mesh")
+                    verts, faces = self._to_world(verts_idx, faces,
+                                                  data["calib"], res)
+                    if mesh_normals:
+                        # geometric normals: host-only; the thunk defers
+                        # the scatter to the worker thread
+                        from .mesh import compute_vertex_normals
+                        v_, f_ = verts, faces
+                        finish_colors = _HostColorJob(compute=lambda: (
+                            compute_vertex_normals(v_, f_) * 0.5 + 0.5))
+                    elif use_color == 0:
+                        finish_colors = self.color_by_normals_start(
+                            verts, feats, data["calib"])
+                    else:
+                        finish_colors = self._sample_img_colors_start(
+                            verts, data, cleanup=use_color == 2)
                 if pending is not None:
                     results.append(pending.result())
                 pending = ex.submit(host_stage, verts, faces,

@@ -156,7 +156,10 @@ class Options:
     # same field — EXACT gradient (no delta hyper-parameter).  Measured on
     # TPU v5 lite @1.3M verts: fd 0.69 s, grad 1.03 s (the VJP through the
     # gather/MLP chain costs more than the 3 extra batched taps), so grad
-    # is the exactness option, not the fast path
+    # is the exactness option, not the fast path; "mesh" = area-weighted
+    # geometric triangle normals on host — NO device color pass at all
+    # (serving fast path: normals of the extracted surface instead of the
+    # field's, visually equivalent at 512^3)
 
     # Sampling
     num_sample_inout: int = 300
@@ -281,9 +284,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_auto_escalate_budget", action="store_true",
                    help="disable budget doubling on refinement overflow")
     p.add_argument("--normal_mode", type=str, default="fd",
-                   choices=("fd", "grad"),
+                   choices=("fd", "grad", "mesh"),
                    help="vertex normals: 4-tap finite difference (reference"
-                        " semantics) or one autodiff sweep (exact gradient)")
+                        " semantics), one autodiff sweep (exact field "
+                        "gradient), or geometric mesh normals (no device "
+                        "color pass — fastest)")
     p.add_argument("--mesh_format", type=str, default="obj",
                    choices=("obj", "ply"),
                    help="mesh export: text OBJ (reference parity) or "

@@ -50,18 +50,26 @@ def main():
     verts = rng.uniform(-0.9, 0.9, (n_verts, 3)).astype(f32)
 
     out = {"n_verts": n_verts, "device": str(jax.devices()[0])}
+    # Build BOTH reconstructors and warm them up first, then measure in
+    # INTERLEAVED rounds (fd, grad, fd, grad, ...).  The sandbox host and
+    # tunnel throttle erratically and monotonically warm up over a run, so
+    # a sequential fd-then-grad measurement hands whichever mode runs
+    # second the faster machine state — interleaving removes that bias.
+    recons, feats = {}, {}
     for mode in ("fd", "grad"):
         opt = Options(resolution=512, normal_mode=mode)
-        recon = Reconstructor(model, params, opt)
-        feats = recon.encode(img_l, img_g)
-        # warmup (compile)
-        recon.color_by_normals(verts, feats, calib)
-        best = float("inf")
-        for _ in range(3):
+        recons[mode] = Reconstructor(model, params, opt)
+        feats[mode] = recons[mode].encode(img_l, img_g)
+        recons[mode].color_by_normals(verts, feats[mode], calib)  # compile
+    samples = {"fd": [], "grad": []}
+    for _ in range(4):
+        for mode in ("fd", "grad"):
             t0 = time.time()
-            recon.color_by_normals(verts, feats, calib)
-            best = min(best, time.time() - t0)
-        out[f"{mode}_color_s"] = round(best, 4)
+            recons[mode].color_by_normals(verts, feats[mode], calib)
+            samples[mode].append(time.time() - t0)
+    for mode in ("fd", "grad"):
+        out[f"{mode}_color_s"] = round(min(samples[mode]), 4)
+        out[f"{mode}_runs_s"] = [round(t, 3) for t in samples[mode]]
     out["speedup_grad_vs_fd"] = round(out["fd_color_s"]
                                       / out["grad_color_s"], 3)
     print(json.dumps(out))

@@ -180,6 +180,95 @@ def test_reconstructor_grad_normal_mode(rng, tmp_path):
     assert np.all(mag < 1.1) and np.median(mag) > 0.5
 
 
+def test_reconstructor_mesh_normal_mode(rng, tmp_path):
+    """normal_mode='mesh' (host geometric normals, zero device color work)
+    end to end: colors decode to unit normals that agree in orientation
+    with the fd field normals of the same surface."""
+    from rgbd_pifuhd_tpu.models import MultiResPIFu
+    from rgbd_pifuhd_tpu.recon.pipeline import Reconstructor
+    from rgbd_pifuhd_tpu.utils.options import Options
+    from tests.test_models_pifu import tiny_global, tiny_local
+
+    model = MultiResPIFu(cfg=tiny_local(), cfg_global=tiny_global())
+    img_l = jnp.asarray(rng.standard_normal((1, 32, 32, 6)).astype(np.float32))
+    img_g = jnp.asarray(rng.standard_normal((1, 64, 64, 6)).astype(np.float32))
+    calib = jnp.eye(4, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), img_l[None], img_g,
+                        jnp.zeros((1, 1, 8, 3), jnp.float32),
+                        calib[None, None], calib[None],
+                        jnp.zeros((1, 1, 8, 1), jnp.float32))
+    data = {"img": img_l, "img_512": img_g, "calib": calib}
+
+    recon_m = Reconstructor(model, params,
+                            Options(resolution=32, normal_mode="mesh"))
+    p_m = os.path.join(tmp_path, "mesh.obj")
+    out = recon_m.gen_mesh(data, p_m, resolution=32)
+    v_m, f_m, c_m = load_obj(p_m)
+    assert len(v_m) == len(out["verts"]) and c_m is not None
+    n_mesh = np.asarray(c_m) * 2.0 - 1.0
+    mag = np.linalg.norm(n_mesh, axis=-1)
+    np.testing.assert_allclose(mag, 1.0, atol=0.02)  # unit (quantization)
+
+    recon_f = Reconstructor(model, params, Options(resolution=32))
+    p_f = os.path.join(tmp_path, "fd.obj")
+    recon_f.gen_mesh(data, p_f, resolution=32)
+    v_f, _, c_f = load_obj(p_f)
+    assert len(v_f) == len(v_m)
+    o_m, o_f = np.lexsort(v_m.T), np.lexsort(v_f.T)
+    np.testing.assert_allclose(v_m[o_m], v_f[o_f], atol=1e-5)
+    n_fd = np.asarray(c_f)[o_f] * 2.0 - 1.0
+    n_fd /= np.maximum(np.linalg.norm(n_fd, axis=-1, keepdims=True), 1e-6)
+    cos = (n_mesh[o_m] * n_fd).sum(-1)
+    assert np.median(cos) > 0.5  # same surface, same orientation
+
+
+def test_gen_mesh_overlap_matches_sequential(rng, tmp_path, monkeypatch):
+    """The slab-pipelined marching+coloring path (IncrementalMarcher3)
+    exports the same mesh as the sequential extract->color path: identical
+    vertex set and near-identical fd-normal colors (positions go up in u16
+    bbox fixed-point whose lo/scale may differ between the paths)."""
+    from rgbd_pifuhd_tpu.models import MultiResPIFu
+    from rgbd_pifuhd_tpu.recon import marching as marching_mod
+    from rgbd_pifuhd_tpu.recon.pipeline import Reconstructor
+    from rgbd_pifuhd_tpu.utils.options import Options
+    from tests.test_models_pifu import tiny_global, tiny_local
+
+    if not marching_mod.IncrementalMarcher3.supported():
+        import pytest
+        pytest.skip("native marching lib unavailable")
+
+    model = MultiResPIFu(cfg=tiny_local(), cfg_global=tiny_global())
+    img_l = jnp.asarray(rng.standard_normal((1, 32, 32, 6)).astype(np.float32))
+    img_g = jnp.asarray(rng.standard_normal((1, 64, 64, 6)).astype(np.float32))
+    calib = jnp.eye(4, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), img_l[None], img_g,
+                        jnp.zeros((1, 1, 8, 3), jnp.float32),
+                        calib[None, None], calib[None],
+                        jnp.zeros((1, 1, 8, 1), jnp.float32))
+    recon = Reconstructor(model, params, Options(resolution=32))
+    data = {"img": img_l, "img_512": img_g, "calib": calib}
+
+    p_ov = os.path.join(tmp_path, "overlap.obj")
+    out_ov = recon.gen_mesh(data, p_ov, resolution=32)
+    monkeypatch.setattr(marching_mod.IncrementalMarcher3, "supported",
+                        staticmethod(lambda: False))
+    p_sq = os.path.join(tmp_path, "sequential.obj")
+    out_sq = recon.gen_mesh(data, p_sq, resolution=32)
+
+    v1, f1, c1 = load_obj(p_ov)
+    v2, f2, c2 = load_obj(p_sq)
+    assert len(v1) == len(v2) == len(out_ov["verts"]) == len(out_sq["verts"])
+    assert f1.shape == f2.shape
+    o1, o2 = np.lexsort(v1.T), np.lexsort(v2.T)
+    np.testing.assert_allclose(v1[o1], v2[o2], atol=1e-5)
+    np.testing.assert_allclose(c1[o1], c2[o2], atol=6.0 / 255.0)
+    # triangle geometry identical
+    t1 = v1[f1].reshape(-1, 9)
+    t2 = v2[f2].reshape(-1, 9)
+    np.testing.assert_allclose(t1[np.lexsort(t1.T)], t2[np.lexsort(t2.T)],
+                               atol=1e-5)
+
+
 def test_ply_roundtrip_matches_obj(rng, tmp_path):
     """Binary PLY writer: round-trips exactly and agrees with the OBJ
     writer on geometry, winding, and (uint8-quantized) colors."""
@@ -342,6 +431,57 @@ def test_three_phase_matches_dense_and_sparse3_marching():
     # sphere geometry sanity on the sparse3 mesh
     r = np.linalg.norm(v3 * (2.0 / res) - 1.0 - np.asarray(center), axis=1)
     np.testing.assert_allclose(np.median(r), 0.5, atol=0.02)
+
+
+def test_incremental_marcher_matches_one_shot():
+    """Slab-incremental mt3 session == one-shot sparse3 marching, exactly:
+    same vertices in the same global order, same faces — so the pipelined
+    march+color overlap cannot change the exported mesh."""
+    from rgbd_pifuhd_tpu.recon.grid import (
+        eval_grid_three_phase_sparse, sparse_scan_cells)
+    from rgbd_pifuhd_tpu.recon.marching import (
+        IncrementalMarcher3, marching_tetrahedra_sparse3)
+
+    if not IncrementalMarcher3.supported():
+        import pytest
+        pytest.skip("native marching lib unavailable")
+
+    res = 64
+    center = jnp.array([0.1, -0.05, 0.0])
+    corner, top8, sub, top4, ref, _diag = eval_grid_three_phase_sparse(
+        sphere_occ, res, jnp.eye(4), center, 0.5,
+        budget_cells=256, budget_subcells=1024, cells_per_chunk=256)
+    corner, top8, sub, top4, ref = map(
+        np.asarray, (corner, top8, sub, top4, ref))
+    cells, _ = sparse_scan_cells(corner, top8, res, factor=8)
+    v_ref, f_ref = marching_tetrahedra_sparse3(corner, top8, sub, top4,
+                                               ref, cells, res)
+
+    for n_slabs in (1, 3, 7):
+        bounds = np.linspace(0, len(cells), n_slabs + 1).astype(int)
+        v_parts, f_parts = [], []
+        with IncrementalMarcher3(corner, top8, sub, top4, ref,
+                                 res) as m:
+            for s in range(n_slabs):
+                vs, fs = m.step(cells[bounds[s]:bounds[s + 1]])
+                v_parts.append(vs)
+                f_parts.append(fs)
+            assert m.total_verts == len(v_ref)
+        v_inc = np.concatenate(v_parts)
+        f_inc = np.concatenate(f_parts)
+        # same vertex set (ordering may differ when thread counts differ
+        # between the one-shot and per-slab scans)
+        assert v_inc.shape == v_ref.shape and f_inc.shape == f_ref.shape
+        np.testing.assert_allclose(v_inc[np.lexsort(v_inc.T)],
+                                   v_ref[np.lexsort(v_ref.T)], atol=0.0)
+        # faces reference valid global indices and reproduce the exact
+        # triangle geometry
+        assert f_inc.min() >= 0 and f_inc.max() < len(v_inc)
+        tri_inc = v_inc[f_inc].reshape(-1, 9)
+        tri_ref = v_ref[f_ref].reshape(-1, 9)
+        np.testing.assert_allclose(tri_inc[np.lexsort(tri_inc.T)],
+                                   tri_ref[np.lexsort(tri_ref.T)],
+                                   atol=0.0)
 
 
 def test_three_phase_subcell_overflow_warns():
