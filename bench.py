@@ -335,6 +335,20 @@ def main():
         recon.gen_mesh(data, ply_path, resolution)
         ply_secs = min(ply_secs, time.time() - t0)
 
+    # ---- serving fast path: geometric mesh normals (normal_mode='mesh',
+    # ZERO device color work — the fd-normal MLP taps disappear entirely)
+    # + binary PLY.  The maximum-throughput opt-in configuration
+    # (`--normal_mode mesh --mesh_format ply`); normal_mode is read at
+    # call time, so flipping opt reuses every compiled computation.
+    recon.opt = dataclasses.replace(opt, normal_mode="mesh")
+    serving_path = os.path.join(out_dir, "bench_serving.ply")
+    serving_secs = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        recon.gen_mesh(data, serving_path, resolution)
+        serving_secs = min(serving_secs, time.time() - t0)
+    recon.opt = opt
+
     # ---- grid-query throughput: points evaluated inside the two-phase
     # jit divided by its wall time (includes the sparse transfer, so this
     # is conservative).  Per-call standalone timing over the tunnel is
@@ -355,6 +369,7 @@ def main():
         "pipelined_secs_per_mesh": round(piped, 4),
         "pipeline_engaged": pipeline_engaged,
         "ply_secs_per_mesh": round(ply_secs, 4),
+        "serving_secs_per_mesh": round(serving_secs, 4),
         "grid_diag": recon.last_grid_diag,
         "encode_s": round(t_enc, 4),
         "field_eval_and_transfer_s": round(t_field, 4),

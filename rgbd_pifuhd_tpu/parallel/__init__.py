@@ -17,4 +17,4 @@ parity audit.
 """
 
 from .mesh import make_device_mesh, replicate, shard_batch
-from .evaluator import shard_points_query
+from .evaluator import shard_arg_axis, shard_points_query

@@ -27,6 +27,32 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 
+def shard_arg_axis(fn: Callable, mesh: Mesh, arg_index: int, dim: int = 0,
+                   axis: str = "data") -> Callable:
+    """Wrap ``fn`` to shard ONE positional argument's dimension ``dim``
+    over ``mesh``, replicating everything else; the output is gathered
+    along the same axis position.
+
+    This is the one primitive behind all point-axis parallelism here:
+    ``shard_points_query`` is ``shard_arg_axis(q, mesh, 0)``; the
+    Reconstructor's vertex-coloring passes shard their [K, chunk, 3]
+    quantized-vertex tensors with ``dim=1`` (the chunk axis), keeping the
+    ``lax.map`` over K groups intact per shard.  Requires the sharded
+    dimension's size % mesh.shape[axis] == 0 (all chunk sizes here are
+    powers of two).
+    """
+    spec = P(*([None] * dim + [axis]))
+
+    def wrapped(*args):
+        in_specs = tuple(spec if i == arg_index else P()
+                         for i in range(len(args)))
+        f = shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=spec,
+                      check_vma=False)
+        return f(*args)
+
+    return wrapped
+
+
 def shard_points_query(query_fn: Callable, mesh: Mesh,
                        axis: str = "data") -> Callable:
     """Wrap ``query_fn`` to shard its leading point axis over ``mesh``.
@@ -34,13 +60,4 @@ def shard_points_query(query_fn: Callable, mesh: Mesh,
     The wrapped function requires M % mesh.shape[axis] == 0 (grid.py's
     chunk sizes are powers of two, so any power-of-two device count works).
     """
-
-    def wrapped(points, *args):
-        in_specs = (P(axis),) + tuple(P() for _ in args)
-        f = shard_map(
-            query_fn, mesh=mesh, in_specs=in_specs, out_specs=P(axis),
-            check_vma=False,
-        )
-        return f(points, *args)
-
-    return wrapped
+    return shard_arg_axis(query_fn, mesh, 0, dim=0, axis=axis)

@@ -171,10 +171,20 @@ class Reconstructor:
     """Single- or two-level mesh reconstruction with compiled-once closures."""
 
     def __init__(self, model: MultiResPIFu, params: Any, opt: Options,
-                 sharded_query=None):
+                 sharded_query=None, mesh=None):
+        """``mesh``: optional `jax.sharding.Mesh` — shards the WHOLE
+        inference point pipeline over it: the grid-query point axis (via
+        parallel.shard_points_query, unless an explicit ``sharded_query``
+        is given) AND the vertex-coloring chunk axis (fd/grad normals,
+        image color), so on a multi-chip host no per-point stage runs
+        replicated."""
         self.model = model
         self.params = params
         self.opt = opt
+        self.mesh = mesh
+        if mesh is not None and sharded_query is None:
+            from ..parallel import shard_points_query
+            sharded_query = lambda q: shard_points_query(q, mesh)  # noqa: E731
 
         def _filter_global(params, img_g):
             return model.apply(params, img_g, last_only=True,
@@ -232,9 +242,9 @@ class Reconstructor:
 
         # all color chunks under ONE jit (lax.map) -> one dispatch + one
         # down-transfer instead of a round trip per chunk
-        self._normals_many = jax.jit(
-            lambda p, l, g, vqs, lo, sc, cal: jax.lax.map(
-                lambda vq: _normals(p, l, g, vq, lo, sc, cal), vqs))
+        def _normals_many(p, l, g, vqs, lo, sc, cal):
+            return jax.lax.map(
+                lambda vq: _normals(p, l, g, vq, lo, sc, cal), vqs)
 
         def _img_color(image, vq, lo, scale, calib):
             verts = _dequantize_verts(vq, lo, scale)
@@ -242,9 +252,21 @@ class Reconstructor:
             return _quantize_colors(geom.index(image[None],
                                                xyz[..., :2])[0][:, :3])
 
-        self._img_color_many = jax.jit(
-            lambda im, vqs, lo, sc, cal: jax.lax.map(
-                lambda vq: _img_color(im, vq, lo, sc, cal), vqs))
+        def _img_color_many(im, vqs, lo, sc, cal):
+            return jax.lax.map(
+                lambda vq: _img_color(im, vq, lo, sc, cal), vqs)
+
+        if mesh is not None:
+            # shard the [K, chunk, 3] coloring tensors over the CHUNK axis
+            # (65536 % any power-of-two device count == 0); the lax.map
+            # over K groups runs per shard.  Model state is replicated —
+            # identical to the grid-query sharding above.
+            from ..parallel import shard_arg_axis
+            _normals_many = shard_arg_axis(_normals_many, mesh, 3, dim=1)
+            _img_color_many = shard_arg_axis(_img_color_many, mesh, 1,
+                                             dim=1)
+        self._normals_many = jax.jit(_normals_many)
+        self._img_color_many = jax.jit(_img_color_many)
         self._vol_cache: dict[int, np.ndarray] = {}  # reused host buffers
         self.last_grid_diag: dict | None = None  # refinement-budget health
         self._esc_budgets: dict[int, dict] = {}  # escalated budgets per res
@@ -1245,10 +1267,14 @@ class CoarseReconstructor(Reconstructor):
     """
 
     def __init__(self, model: CoarsePIFu, params: Any, opt: Options,
-                 sharded_query=None):
+                 sharded_query=None, mesh=None):
         self.model = model
         self.params = params
         self.opt = opt
+        self.mesh = mesh
+        if mesh is not None and sharded_query is None:
+            from ..parallel import shard_points_query
+            sharded_query = lambda q: shard_points_query(q, mesh)  # noqa: E731
 
         def _filter_global(params, img_g):
             return model.apply(params, img_g, last_only=True,
@@ -1283,9 +1309,9 @@ class CoarseReconstructor(Reconstructor):
                                   method=CoarsePIFu.calc_normal)[0]
                 return _quantize_colors(nml)
 
-        self._normals_many = jax.jit(
-            lambda p, l, g, vqs, lo, sc, cal: jax.lax.map(
-                lambda vq: _normals(p, l, g, vq, lo, sc, cal), vqs))
+        def _normals_many(p, l, g, vqs, lo, sc, cal):
+            return jax.lax.map(
+                lambda vq: _normals(p, l, g, vq, lo, sc, cal), vqs)
 
         def _img_color(image, vq, lo, scale, calib):
             verts = _dequantize_verts(vq, lo, scale)
@@ -1293,9 +1319,17 @@ class CoarseReconstructor(Reconstructor):
             return _quantize_colors(geom.index(image[None],
                                                xyz[..., :2])[0][:, :3])
 
-        self._img_color_many = jax.jit(
-            lambda im, vqs, lo, sc, cal: jax.lax.map(
-                lambda vq: _img_color(im, vq, lo, sc, cal), vqs))
+        def _img_color_many(im, vqs, lo, sc, cal):
+            return jax.lax.map(
+                lambda vq: _img_color(im, vq, lo, sc, cal), vqs)
+
+        if mesh is not None:
+            from ..parallel import shard_arg_axis
+            _normals_many = shard_arg_axis(_normals_many, mesh, 3, dim=1)
+            _img_color_many = shard_arg_axis(_img_color_many, mesh, 1,
+                                             dim=1)
+        self._normals_many = jax.jit(_normals_many)
+        self._img_color_many = jax.jit(_img_color_many)
         self._vol_cache = {}
         self.last_grid_diag = None
         self._esc_budgets = {}

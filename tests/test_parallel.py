@@ -110,6 +110,57 @@ def test_sharded_model_query_runs(rng):
     np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
 
 
+def test_reconstructor_mesh_shards_query_and_colors(rng, tmp_path):
+    """Reconstructor(mesh=...) shards BOTH the grid query and the vertex
+    coloring chunk axis over 8 devices; the exported mesh (geometry AND
+    uint8 colors) must be value-identical to the single-device run."""
+    import os
+    from rgbd_pifuhd_tpu.models import MultiResPIFu
+    from rgbd_pifuhd_tpu.recon.mesh import load_obj
+    from rgbd_pifuhd_tpu.recon.pipeline import Reconstructor
+    from rgbd_pifuhd_tpu.utils.options import Options
+    from tests.test_models_pifu import tiny_global, tiny_local
+
+    model = MultiResPIFu(cfg=tiny_local(), cfg_global=tiny_global())
+    img_l = jnp.asarray(rng.standard_normal((1, 32, 32, 6)).astype(np.float32))
+    img_g = jnp.asarray(rng.standard_normal((1, 64, 64, 6)).astype(np.float32))
+    calib = jnp.eye(4, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), img_l[None], img_g,
+                        jnp.zeros((1, 1, 8, 3), jnp.float32),
+                        calib[None, None], calib[None],
+                        jnp.zeros((1, 1, 8, 1), jnp.float32))
+
+    mesh = make_device_mesh()
+    opt = Options(resolution=32, use_octree=True)
+    recon_mesh = Reconstructor(model, params, opt, mesh=mesh)
+    recon_one = Reconstructor(model, params, opt)
+    data = {"img": img_l, "img_512": img_g, "calib": calib}
+
+    p_m = str(tmp_path / "mesh.obj")
+    p_1 = str(tmp_path / "one.obj")
+    recon_mesh.gen_mesh(data, p_m, resolution=32)
+    recon_one.gen_mesh(data, p_1, resolution=32)
+    v_m, f_m, c_m = load_obj(p_m)
+    v_1, f_1, c_1 = load_obj(p_1)
+    assert len(v_m) == len(v_1) and f_m.shape == f_1.shape
+    o_m, o_1 = np.lexsort(v_m.T), np.lexsort(v_1.T)
+    # tiny configs use mlp_norm='none' -> sharding must be value-identical
+    np.testing.assert_allclose(v_m[o_m], v_1[o_1], atol=1e-5)
+    np.testing.assert_allclose(c_m[o_m], c_1[o_1], atol=2.0 / 255.0)
+
+    # image-color path shards too (its own vertex ordering: it goes
+    # through the one-shot kernel, not the incremental overlap)
+    p_mc = str(tmp_path / "mesh_c.obj")
+    p_1c = str(tmp_path / "one_c.obj")
+    recon_mesh.gen_mesh_img_color(data, p_mc, resolution=32)
+    recon_one.gen_mesh_img_color(data, p_1c, resolution=32)
+    vc_m, _, ci_m = load_obj(p_mc)
+    vc_1, _, ci_1 = load_obj(p_1c)
+    oc_m, oc_1 = np.lexsort(vc_m.T), np.lexsort(vc_1.T)
+    np.testing.assert_allclose(vc_m[oc_m], vc_1[oc_1], atol=1e-5)
+    np.testing.assert_allclose(ci_m[oc_m], ci_1[oc_1], atol=2.0 / 255.0)
+
+
 def test_reconstructor_with_sharded_query(rng, tmp_path):
     """Full Reconstructor pipeline with the query sharded over 8 devices."""
     import os
