@@ -240,14 +240,6 @@ def load_meshio():
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_char)),
                 ctypes.POINTER(ctypes.c_int64),
             ]
-            lib.obj_write_with_faces.restype = ctypes.c_int
-            lib.obj_write_with_faces.argtypes = [
-                ctypes.c_char_p,
-                ctypes.POINTER(ctypes.c_float),
-                ctypes.POINTER(ctypes.c_float),
-                ctypes.c_int64,
-                ctypes.POINTER(ctypes.c_char), ctypes.c_int64,
-            ]
             lib.obj_open.restype = ctypes.c_int64
             lib.obj_open.argtypes = [ctypes.c_char_p]
             lib.obj_append_verts.restype = ctypes.c_int

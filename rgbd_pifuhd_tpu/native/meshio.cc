@@ -243,9 +243,9 @@ int obj_write(const char* path, const float* verts, const float* colors,
 
 // Format the face block ("f a c b\n" lines, flipped winding) into one
 // malloc'd text buffer WITHOUT writing it — lets the caller format faces
-// while the vertex colors are still being computed on the device, then
-// stream the finished OBJ with obj_write_with_faces.  Free with
-// meshio_free.
+// while the vertex colors are still being computed on the device; the
+// streamed writer (obj_finish) appends it after the last vertex group.
+// Free with meshio_free.
 int obj_format_faces(const int32_t* faces, int64_t nf, char** out,
                      int64_t* out_len) {
   int n_threads = (int)std::thread::hardware_concurrency();
@@ -283,60 +283,6 @@ int obj_format_faces(const int32_t* faces, int64_t nf, char** out,
   }
   *out = buf;
   *out_len = (int64_t)total;
-  return 0;
-}
-
-// OBJ export with a PREFORMATTED face block (from obj_format_faces):
-// formats + writes the vertex lines, then streams the face buffer.
-int obj_write_with_faces(const char* path, const float* verts,
-                         const float* colors, int64_t nv,
-                         const char* faces_buf, int64_t faces_len) {
-  FILE* fp = std::fopen(path, "w");
-  if (!fp) return 1;
-  int n_threads = (int)std::thread::hardware_concurrency();
-  if (n_threads <= 0) n_threads = 1;
-  if (n_threads > 8) n_threads = 8;
-  std::vector<std::vector<char>> bufs(n_threads);
-  auto worker = [&](int t) {
-    const int64_t i0 = nv * t / n_threads;
-    const int64_t i1 = nv * (t + 1) / n_threads;
-    std::vector<char>& b = bufs[t];
-    b.reserve((size_t)(i1 - i0) * 90 + 64);
-    char line[192];
-    for (int64_t i = i0; i < i1; ++i) {
-      const float* v = verts + i * 3;
-      char* p = line;
-      *p++ = 'v'; *p++ = ' ';
-      p = fmt_fixed4(p, v[0]); *p++ = ' ';
-      p = fmt_fixed4(p, v[1]); *p++ = ' ';
-      p = fmt_fixed4(p, v[2]);
-      if (colors) {
-        const float* c = colors + i * 3;
-        *p++ = ' ';
-        p = fmt_fixed4(p, c[0]); *p++ = ' ';
-        p = fmt_fixed4(p, c[1]); *p++ = ' ';
-        p = fmt_fixed4(p, c[2]);
-      }
-      *p++ = '\n';
-      b.insert(b.end(), line, p);
-    }
-  };
-  std::vector<std::thread> ths;
-  for (int t = 0; t < n_threads; ++t) ths.emplace_back(worker, t);
-  for (auto& th : ths) th.join();
-  for (auto& b : bufs) {
-    if (!b.empty() && std::fwrite(b.data(), 1, b.size(), fp) != b.size()) {
-      std::fclose(fp);
-      return 1;
-    }
-  }
-  if (faces_len > 0 &&
-      std::fwrite(faces_buf, 1, (size_t)faces_len, fp) !=
-          (size_t)faces_len) {
-    std::fclose(fp);
-    return 1;
-  }
-  std::fclose(fp);
   return 0;
 }
 

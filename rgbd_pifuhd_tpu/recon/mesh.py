@@ -142,9 +142,10 @@ def load_ply(path: str):
 def format_faces_block(faces: np.ndarray):
     """Pre-format the OBJ face block (flipped winding) into a native text
     buffer WITHOUT writing it — callers run this while the device is still
-    computing vertex colors, then stream the finished file with
-    ``save_obj_with_color_prefaced``.  Returns an opaque blob or None when
-    the native library is unavailable (fall back to save_obj_with_color).
+    computing vertex colors; the streamed writer appends it after the last
+    vertex group (pipeline._write_obj_streamed, which also frees it).
+    Returns an opaque blob or None when the native library is unavailable
+    (fall back to save_obj_with_color).
     """
     from ..native import load_meshio
     lib = load_meshio()
@@ -161,29 +162,6 @@ def format_faces_block(faces: np.ndarray):
     if rc != 0:
         return None
     return (lib, buf, ln)
-
-
-def save_obj_with_color_prefaced(path: str, verts: np.ndarray,
-                                 colors: np.ndarray, faces_blob) -> bool:
-    """Write an OBJ from vertex data + a preformatted face blob
-    (``format_faces_block``); byte-identical to ``save_obj_with_color``.
-    Frees the blob.  Returns False on failure (blob still freed)."""
-    lib, buf, ln = faces_blob
-    import ctypes
-
-    v = np.ascontiguousarray(verts, np.float32)
-    c = (np.ascontiguousarray(colors, np.float32)
-         if colors is not None else None)
-    try:
-        rc = lib.obj_write_with_faces(
-            path.encode(),
-            v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            c.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
-            if c is not None else None,
-            ctypes.c_int64(len(v)), buf, ln)
-    finally:
-        lib.meshio_free(buf)
-    return rc == 0
 
 
 def load_obj(path: str):
@@ -254,9 +232,11 @@ def load_obj_mtl(path: str):
                 elif parts[0] == "Kd" and cur is not None:
                     materials[cur]["Kd"] = tuple(
                         float(x) for x in parts[1:4])
-                elif parts[0] == "map_Kd" and cur is not None:
+                elif (parts[0] == "map_Kd" and cur is not None
+                      and len(parts) > 1):
+                    # filename = rest of the line (may contain spaces)
                     materials[cur]["map_Kd"] = os.path.join(
-                        obj_dir, parts[-1])
+                        obj_dir, line.split(None, 1)[1].strip())
 
     verts, uvs, faces, face_uvs, face_mats = [], [], [], [], []
     cur_mat = None
@@ -266,8 +246,10 @@ def load_obj_mtl(path: str):
             if not parts:
                 continue
             tag = parts[0]
-            if tag == "mtllib":
-                parse_mtl(os.path.join(obj_dir, parts[-1]))
+            if tag == "mtllib" and len(parts) > 1:
+                # filename = rest of the line (may contain spaces)
+                parse_mtl(os.path.join(obj_dir,
+                                       line.split(None, 1)[1].strip()))
             elif tag == "usemtl":
                 cur_mat = parts[1] if len(parts) > 1 else None
             elif tag == "v":

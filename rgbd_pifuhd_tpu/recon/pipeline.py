@@ -822,6 +822,18 @@ class Reconstructor:
             raise err
         return ok and rc == 0
 
+    def _export_mesh(self, save_path, verts, faces, job, faces_blob=None):
+        """PLY / streamed-OBJ / single-shot-OBJ dispatch, shared by
+        gen_mesh's tail and gen_mesh_many's worker stage.  ``job`` is the
+        color thunk; ``faces_blob`` is the preformatted OBJ face block
+        (callers compute it while the device colors; ignored for PLY)."""
+        if save_path.endswith(".ply"):
+            from .mesh import save_ply_with_color
+            save_ply_with_color(save_path, verts, faces, job())
+        elif not self._write_obj_streamed(save_path, verts, job,
+                                          faces_blob):
+            save_obj_with_color(save_path, verts, faces, job())
+
     def _finish_normals(self, verts, faces, feats, data, save_path,
                         montage_img: np.ndarray | None = None,
                         job=None) -> dict:
@@ -848,11 +860,7 @@ class Reconstructor:
         else:
             self._save_montage(data, feats, save_path)
         t1 = time.time()
-        if ply:
-            from .mesh import save_ply_with_color
-            save_ply_with_color(save_path, verts, faces, job())
-        elif not self._write_obj_streamed(save_path, verts, job, faces_blob):
-            save_obj_with_color(save_path, verts, faces, job())
+        self._export_mesh(save_path, verts, faces, job, faces_blob)
         return {"verts": verts, "faces": faces,
                 "finish_phases": {
                     "faces_and_montage": round(t1 - t0, 4),
@@ -939,9 +947,14 @@ class Reconstructor:
         feats = (l_feats, g_feats)
         calib = jnp.asarray(data["calib"], jnp.float32)
         montage_dev = self._montage_device(data, feats)
-        holder: dict[str, np.ndarray] = {}
-        puller = threading.Thread(
-            target=lambda: holder.update(m=np.asarray(montage_dev)))
+        holder: dict[str, object] = {}
+
+        def _pull_montage():
+            try:
+                holder["m"] = np.asarray(montage_dev)
+            except BaseException as e:  # transient link drops land here;
+                holder["err"] = e       # re-raised on the main thread
+        puller = threading.Thread(target=_pull_montage)
         puller.start()
 
         job = None
@@ -972,6 +985,8 @@ class Reconstructor:
         t1 = time.time()
 
         puller.join()
+        if "err" in holder:  # preserve the original transfer error (its
+            raise holder["err"]  # message drives bench.py's retry filter)
         montage = holder["m"][:, :, ::-1]
         out = self._finish_normals(verts, faces, feats, data, save_path,
                                    montage_img=montage, job=job)
@@ -1059,18 +1074,12 @@ class Reconstructor:
             # pulls release the GIL while waiting on the link, so the
             # main thread's marching for subject i+1 keeps the core.
             if use_color == 0:
-                ply = save_path.endswith(".ply")
-                faces_blob = None if ply else format_faces_block(faces)
+                faces_blob = (None if save_path.endswith(".ply")
+                              else format_faces_block(faces))
                 self._write_montage(np.asarray(montage_dev)[:, :, ::-1],
                                     save_path)
-                if ply:
-                    from .mesh import save_ply_with_color
-                    save_ply_with_color(save_path, verts, faces,
-                                        finish_colors())
-                elif not self._write_obj_streamed(save_path, verts,
-                                                  finish_colors, faces_blob):
-                    save_obj_with_color(save_path, verts, faces,
-                                        finish_colors())
+                self._export_mesh(save_path, verts, faces, finish_colors,
+                                  faces_blob)
                 out = {"verts": verts, "faces": faces}
             else:
                 colors, xyz_proj = finish_colors()
@@ -1118,11 +1127,13 @@ class Reconstructor:
                                                   data["calib"], res)
                     if mesh_normals:
                         # geometric normals: host-only; the thunk defers
-                        # the scatter to the worker thread
+                        # the scatter to the worker thread.  verts/faces
+                        # are bound by VALUE: the loop rebinds them for
+                        # subject i+1 before the worker resolves job i
                         from .mesh import compute_vertex_normals
-                        v_, f_ = verts, faces
-                        finish_colors = _HostColorJob(compute=lambda: (
-                            compute_vertex_normals(v_, f_) * 0.5 + 0.5))
+                        finish_colors = _HostColorJob(
+                            compute=lambda v=verts, f=faces: (
+                                compute_vertex_normals(v, f) * 0.5 + 0.5))
                     elif use_color == 0:
                         finish_colors = self.color_by_normals_start(
                             verts, feats, data["calib"])

@@ -365,6 +365,29 @@ def _checker_quad(tmp_path, tex_size=64, checks=8):
     return str(tmp_path / "quad.obj")
 
 
+def test_load_obj_mtl_spaced_filenames(tmp_path):
+    """mtllib/map_Kd filenames may contain spaces (common in scanned
+    assets); the loader must take the rest of the line, not the last
+    whitespace token."""
+    import shutil
+    from rgbd_pifuhd_tpu.recon.mesh import load_obj_mtl
+
+    _checker_quad(tmp_path)
+    shutil.move(str(tmp_path / "checker.png"),
+                str(tmp_path / "skin texture.png"))
+    (tmp_path / "my materials.mtl").write_text(
+        "newmtl skin\nKd 0.5 0.5 0.5\nmap_Kd skin texture.png\n")
+    (tmp_path / "spaced.obj").write_text(
+        "mtllib my materials.mtl\n"
+        "v -1 -1 0\nv 1 -1 0\nv 1 1 0\nv -1 1 0\n"
+        "vt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\n"
+        "usemtl skin\n"
+        "f 1/1 2/2 3/3 4/4\n")
+    mesh = load_obj_mtl(str(tmp_path / "spaced.obj"))
+    assert mesh["texture"] is not None and mesh["texture"].shape[2] == 3
+    np.testing.assert_allclose(mesh["face_albedo"], 0.5)
+
+
 def test_load_obj_mtl_and_textured_raster(tmp_path):
     """UV/MTL loading + albedo-texture sampling (reference
     traindata/lib/renderer/mesh.py:110-221 + prt.fs AlbedoMap): a

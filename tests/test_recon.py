@@ -653,6 +653,28 @@ def test_gen_mesh_many_matches_sequential(rng, tmp_path):
         np.testing.assert_allclose(s["verts"], p["verts"], atol=1e-5)
         np.testing.assert_array_equal(s["faces"], p["faces"])
 
+    # geometric-normal (normal_mode='mesh') pipelined path must color
+    # every subject with ITS OWN geometry: the worker resolves the color
+    # thunk after the main loop has moved on to the next subject, so the
+    # thunk must bind verts/faces by value (late binding colored subject
+    # i with subject i+1's mesh and could read out of bounds)
+    import dataclasses
+    from rgbd_pifuhd_tpu.recon.mesh import load_obj
+    recon.opt = dataclasses.replace(opt, normal_mode="mesh")
+    seq_paths_m = [os.path.join(tmp_path, f"sm{k}.obj") for k in range(3)]
+    for k, d in enumerate(datas):
+        recon.gen_mesh(d, seq_paths_m[k], resolution=32)
+    paths_m = [os.path.join(tmp_path, f"pm{k}.obj") for k in range(3)]
+    recon.gen_mesh_many(datas, paths_m, use_color=0, resolution=32,
+                        pipeline=True)
+    recon.opt = opt
+    for sp, pp in zip(seq_paths_m, paths_m):
+        v_s, f_s, c_s = load_obj(sp)
+        v_p, f_p, c_p = load_obj(pp)
+        np.testing.assert_allclose(v_s, v_p, atol=1e-5)
+        np.testing.assert_array_equal(f_s, f_p)
+        np.testing.assert_allclose(c_s, c_p, atol=2.0 / 255.0)
+
     # image-color (1) and cleanup (2) pipelined paths match sequential too
     for uc in (1, 2):
         seq_c = [recon.gen_mesh_img_color(
