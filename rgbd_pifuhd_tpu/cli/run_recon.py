@@ -29,6 +29,9 @@ def main(argv=None):
     from ..utils.options import parse_options
     opt = parse_options(argv)
 
+    from ..utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()  # repeat runs skip the 20-120s compiles
+
     import jax
     import jax.numpy as jnp
     from ..models.multires import MultiResPIFu

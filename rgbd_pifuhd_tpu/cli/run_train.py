@@ -37,6 +37,9 @@ def main(argv=None):
     opt = parse_options(argv)
     print_options(opt)
 
+    from ..utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()  # repeat runs skip the 20-120s compiles
+
     import jax
     mesh = make_device_mesh() if jax.device_count() > 1 else None
 

@@ -43,3 +43,22 @@ def test_print_options(capsys):
     print_options(opt)
     out = capsys.readouterr().out
     assert "resolution" in out and "[default: 512]" in out
+
+
+def test_persistent_cache_enable(tmp_path, monkeypatch):
+    """enable_persistent_cache points jax at an on-disk dir, is idempotent,
+    and honors the off switch (best-effort: never raises)."""
+    import jax
+    import rgbd_pifuhd_tpu.utils.jax_cache as jc
+
+    monkeypatch.setattr(jc, "_ENABLED", False)
+    monkeypatch.setenv("RGBD_PIFUHD_JAX_CACHE", "off")
+    assert jc.enable_persistent_cache() is None
+
+    monkeypatch.delenv("RGBD_PIFUHD_JAX_CACHE")
+    target = str(tmp_path / "jaxcache")
+    got = jc.enable_persistent_cache(target)
+    assert got == target and os.path.isdir(target)
+    assert jax.config.jax_compilation_cache_dir == target
+    # idempotent: second call returns the already-enabled dir
+    assert jc.enable_persistent_cache(str(tmp_path / "other")) == target
