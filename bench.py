@@ -419,7 +419,7 @@ def _run_inner():
         main()
 
 
-def _run_watchdog():
+def _run_watchdog(cmd=None, retry_sleep=30.0):
     """Run the bench in a child process with a hard deadline.
 
     Retries (error-filtered) catch tunnel failures that RAISE; they cannot
@@ -429,16 +429,17 @@ def _run_watchdog():
     driver-recorded bench would have sat at that call until the driver
     killed it).  The child inherits stdout (the driver reads the JSON line
     from there); on deadline the whole process group is killed and the run
-    retried once.
+    retried once.  ``cmd`` overrides the child command (tests).
     """
     import subprocess
     import sys
 
     deadline = float(os.environ.get("BENCH_DEADLINE_S", "2400"))
     env = dict(os.environ, BENCH_CHILD="1")
+    if cmd is None:
+        cmd = [sys.executable, os.path.abspath(__file__)]
     for attempt in (1, 2):
-        child = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
-                                 env=env, start_new_session=True)
+        child = subprocess.Popen(cmd, env=env, start_new_session=True)
         try:
             rc = child.wait(timeout=deadline)
         except subprocess.TimeoutExpired:
@@ -454,7 +455,7 @@ def _run_watchdog():
             if attempt == 2:
                 raise SystemExit(
                     "bench: backend hung through both attempts") from None
-            time.sleep(30.0)
+            time.sleep(retry_sleep)
             continue
         raise SystemExit(rc)
 

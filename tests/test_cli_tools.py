@@ -62,3 +62,39 @@ def test_persistent_cache_enable(tmp_path, monkeypatch):
     assert jax.config.jax_compilation_cache_dir == target
     # idempotent: second call returns the already-enabled dir
     assert jc.enable_persistent_cache(str(tmp_path / "other")) == target
+
+
+def test_bench_watchdog(tmp_path, monkeypatch, capsys):
+    """The bench watchdog must kill a hung child at the deadline, retry
+    once, and pass the child's exit status through.  Exercised with a
+    stub child: first run hangs (slept past the deadline), second run
+    writes a marker and exits 0."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    try:
+        import bench
+    finally:
+        sys.path.remove("/root/repo")
+
+    marker = tmp_path / "ran_twice"
+    stub = tmp_path / "child.py"
+    stub.write_text(
+        "import os, sys, time\n"
+        f"m = {str(marker)!r}\n"
+        "if os.path.exists(m):\n"
+        "    sys.exit(0)\n"
+        "open(m, 'w').close()\n"
+        "time.sleep(60)\n")
+    monkeypatch.setenv("BENCH_DEADLINE_S", "3")
+
+    with pytest.raises(SystemExit) as ei:
+        bench._run_watchdog([sys.executable, str(stub)], retry_sleep=0.0)
+    assert ei.value.code == 0
+    assert "backend hang" in capsys.readouterr().err
+
+    # both attempts hanging -> red exit with a message
+    marker2 = tmp_path / "never"
+    stub.write_text("import time\ntime.sleep(60)\n")
+    with pytest.raises(SystemExit) as ei:
+        bench._run_watchdog([sys.executable, str(stub)], retry_sleep=0.0)
+    assert "both attempts" in str(ei.value.code)
