@@ -6,6 +6,11 @@ resolution / results_path / loadSize.
 
 ``--demo-sphere`` runs hermetically: generates a synthetic subject, uses a
 freshly-initialized model, and reconstructs — the smoke-test path.
+``--demo-trained`` is the hermetic demo with a REAL field: it loads the
+committed trained-tiny two-level checkpoint (assets/bench_tiny, trained by
+scripts/train_bench_tiny.py), regenerates its synthetic capsule subject,
+and reconstructs an actual surface — checkpoint restore + recon
+end-to-end with no external data.
 
 use_color: 0 = fd-normal colors (gen_mesh), 1 = image colors
 (gen_mesh_imgColor), 2 = image colors + largest-component cleanup + back
@@ -25,6 +30,10 @@ def main(argv=None):
     if "--demo-sphere" in argv:
         demo = True
         argv.remove("--demo-sphere")
+    demo_trained = False
+    if "--demo-trained" in argv:
+        demo_trained = True
+        argv.remove("--demo-trained")
 
     from ..utils.options import parse_options
     opt = parse_options(argv)
@@ -39,7 +48,37 @@ def main(argv=None):
     from ..utils import checkpoint as ckpt
     from ..data.readdata import InferenceDataset
 
-    if demo:
+    if demo_trained:
+        from ..data.synthetic import generate_synthetic_dataset
+        from ..data.datasets import TrainDataset
+        from ..utils.options import Options
+        import dataclasses
+        import numpy as np
+
+        path = opt.load_netMR_checkpoint_path or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), "assets", "bench_tiny", "ckpt")
+        if not os.path.exists(path):
+            raise SystemExit(
+                f"trained demo checkpoint not found: {path} "
+                "(generate with scripts/train_bench_tiny.py)")
+        state = ckpt.load_checkpoint(path)
+        # demo uses the checkpoint's FULL embedded opts (the tiny configs
+        # + its 128px load sizes), not the restore-4-fields CLI merge —
+        # the subject is regenerated to match the checkpoint exactly
+        opt_model = Options.from_dict(state["opt"])
+        params = jax.tree.map(  # f16-stored asset -> f32 compute
+            lambda x: np.asarray(x, np.float32)
+            if getattr(x, "dtype", None) == np.float16 else x,
+            state["params"])
+        root = os.path.join(opt.results_path, "_demo_data_trained")
+        if not os.path.isdir(os.path.join(root, "RENDER", "capsule")):
+            generate_synthetic_dataset(
+                root, subjects=("capsule",), size=opt_model.load_size,
+                load_size=opt_model.load_size, seed=0)
+        dataset = TrainDataset(dataclasses.replace(opt_model, dataroot=root),
+                               load_mesh=False, seed=0)
+    elif demo:
         from ..data.synthetic import generate_synthetic_dataset
         from ..data.datasets import TrainDataset
         import dataclasses

@@ -85,7 +85,10 @@ def test_bench_watchdog(tmp_path, monkeypatch, capsys):
         "    sys.exit(0)\n"
         "open(m, 'w').close()\n"
         "time.sleep(60)\n")
-    monkeypatch.setenv("BENCH_DEADLINE_S", "3")
+    # generous deadline: on a loaded single-core sandbox the child python
+    # can take seconds just to start; it must have written the marker
+    # (its first statement) before the kill or the retry re-hangs
+    monkeypatch.setenv("BENCH_DEADLINE_S", "10")
 
     with pytest.raises(SystemExit) as ei:
         bench._run_watchdog([sys.executable, str(stub)], retry_sleep=0.0)
@@ -98,3 +101,20 @@ def test_bench_watchdog(tmp_path, monkeypatch, capsys):
     with pytest.raises(SystemExit) as ei:
         bench._run_watchdog([sys.executable, str(stub)], retry_sleep=0.0)
     assert "both attempts" in str(ei.value.code)
+
+
+def test_run_recon_demo_trained(tmp_path):
+    """--demo-trained: hermetic checkpoint-restore + recon from the
+    committed trained-tiny model; the mesh must be a real closed surface
+    (capsule), not an untrained-field noise shell."""
+    from rgbd_pifuhd_tpu.cli.run_recon import main
+    from rgbd_pifuhd_tpu.recon.mesh import load_obj
+
+    main(["--demo-trained", "--resolution", "64",
+          "--results_path", str(tmp_path)])
+    out = os.path.join(tmp_path, "pifuhd", "recon", "result_capsule_64.obj")
+    verts, faces, _ = load_obj(out)
+    assert len(verts) > 1000 and len(faces) > 1000
+    # capsule: tall in y, tube-like in xz (radius spread well under radius)
+    ext = verts.max(0) - verts.min(0)
+    assert ext[1] > 1.5 * ext[0] and ext[1] > 1.5 * ext[2]
