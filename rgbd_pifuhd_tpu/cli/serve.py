@@ -50,12 +50,38 @@ def _serve_loop(recon, opt, out_dir: str, requests, emit):
             if not idxs:
                 raise FileNotFoundError(
                     f"no subject{' ' + stem if stem else 's'} under {root}")
-            for i in idxs:
+
+            def load(i):
                 data = dict(dataset[i])
                 if data["img_512"].ndim == 3:
                     data["img_512"] = data["img_512"][None]
-                save_path = os.path.join(
+                return data
+
+            def path_for(data):
+                return os.path.join(
                     out_dir, f"result_{data['name']}_{opt.resolution}.{ext}")
+
+            if len(idxs) > 1:
+                # multi-subject request: two-slot pipeline (subject i's
+                # host marching/coloring/IO overlaps subject i+1's device
+                # evaluation — same as cli/run_recon's batch branch)
+                named: list[tuple[str, str]] = []
+
+                def path_for_and_log(data):
+                    p = path_for(data)
+                    named.append((data["name"], p))
+                    return p
+
+                results = recon.gen_mesh_many(
+                    (load(i) for i in idxs), path_for_and_log,
+                    use_color=opt.use_color, resolution=opt.resolution)
+                for (name, p), r in zip(named, results):
+                    emit({"name": name, "mesh": p,
+                          "verts": int(len(r["verts"])),
+                          "secs": round(r["secs"], 3)})
+            else:
+                data = load(idxs[0])
+                save_path = path_for(data)
                 t0 = time.time()
                 if opt.use_color == 0:
                     r = recon.gen_mesh(data, save_path, opt.resolution)

@@ -9,18 +9,20 @@ import sys
 import numpy as np
 
 
-def _make_inference_dir(tmp_path, root, stem="subject"):
+def _make_inference_dir(tmp_path, root, stems=("subject",)):
     import cv2
 
-    img_dir = str(tmp_path / f"imgs_{stem}")
+    img_dir = str(tmp_path / "imgs")
     os.makedirs(os.path.join(img_dir, "depth"))
     render = cv2.imread(os.path.join(root, "RENDER", "sphere", "0_0_00.jpg"))
     depth = cv2.imread(os.path.join(root, "DEPTH", "sphere", "0_0_00.png"))
-    cv2.imwrite(os.path.join(img_dir, f"{stem}.png"), render)
-    cv2.imwrite(os.path.join(img_dir, "depth", f"depth_{stem}.png"), depth)
     h, w = render.shape[:2]
-    np.savetxt(os.path.join(img_dir, f"{stem}_rect.txt"),
-               np.array([[0, 0, w, h]]), fmt="%d")
+    for stem in stems:
+        cv2.imwrite(os.path.join(img_dir, f"{stem}.png"), render)
+        cv2.imwrite(os.path.join(img_dir, "depth", f"depth_{stem}.png"),
+                    depth)
+        np.savetxt(os.path.join(img_dir, f"{stem}_rect.txt"),
+                   np.array([[0, 0, w, h]]), fmt="%d")
     return img_dir
 
 
@@ -42,7 +44,7 @@ def test_serve_loop_requests_and_errors(tmp_path):
     )
     train_fine(opt, max_steps=1)
     ckpt_path = str(tmp_path / "ckpt" / "srv_train_latest")
-    img_dir = _make_inference_dir(tmp_path, root)
+    img_dir = _make_inference_dir(tmp_path, root, stems=("subject", "zwei"))
 
     # drive the whole CLI in a subprocess over the stdin/stdout protocol
     code = (
@@ -56,9 +58,9 @@ def test_serve_loop_requests_and_errors(tmp_path):
     requests = (
         f"{tmp_path}/nonexistent\n"        # error: keeps serving
         f"{img_dir}::wrongstem\n"          # error: keeps serving
-        f"{img_dir}::subject\n"            # ok
-        f"{img_dir}\n"                     # ok: whole dir (same subject)
-        "quit\n")
+        f"{img_dir}::subject\n"            # ok: single subject
+        f"{img_dir}\n"                     # ok: whole dir -> two-slot
+        "quit\n")                          #     pipelined multi-subject
     env = dict(os.environ, PYTHONPATH=os.pathsep.join(
         ["/root/repo", os.environ.get("PYTHONPATH", "")]))
     res = subprocess.run([sys.executable, "-c", code], input=requests,
@@ -71,11 +73,10 @@ def test_serve_loop_requests_and_errors(tmp_path):
     assert lines[0]["ready"] is True
     errs = [m for m in lines if "error" in m]
     oks = [m for m in lines if "mesh" in m]
-    assert len(errs) == 2 and len(oks) == 2
+    assert len(errs) == 2 and len(oks) == 3
     assert "nonexistent" in errs[0]["request"]
+    assert oks[0]["name"] == "subject"          # per-stem request
+    assert {m["name"] for m in oks[1:]} == {"subject", "zwei"}  # whole dir
     for m in oks:
-        assert m["name"] == "subject" and m["verts"] > 0
-        assert os.path.exists(m["mesh"])
-        assert m["mesh"].endswith("result_subject_32.obj")
-    # second request reuses the compiled executables: much faster warm
-    assert oks[1]["secs"] <= oks[0]["secs"]
+        assert m["verts"] > 0 and os.path.exists(m["mesh"])
+        assert m["mesh"].endswith(f"result_{m['name']}_32.obj")
