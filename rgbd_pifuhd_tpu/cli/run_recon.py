@@ -115,7 +115,12 @@ def main(argv=None):
             calib[None], jnp.zeros((1, 1, 8, 1), jnp.float32),
         )
 
-    recon = Reconstructor(model, params, opt_model)
+    # multi-chip host: shard the whole per-point inference pipeline
+    # (grid query + vertex coloring) over the device mesh — same
+    # auto-detection convention as run_train
+    from ..parallel import make_device_mesh
+    mesh = make_device_mesh() if jax.device_count() > 1 else None
+    recon = Reconstructor(model, params, opt_model, mesh=mesh)
     out_dir = os.path.join(opt.results_path, opt.name, "recon")
     os.makedirs(out_dir, exist_ok=True)
 

@@ -105,7 +105,9 @@ def main(argv=None):
     from ..utils.jax_cache import enable_persistent_cache
     enable_persistent_cache()  # restarts skip the tunnel compiles
 
+    import jax
     from ..models.multires import MultiResPIFu
+    from ..parallel import make_device_mesh
     from ..recon.pipeline import Reconstructor
     from ..utils import checkpoint as ckpt
 
@@ -117,7 +119,10 @@ def main(argv=None):
     opt_model, _ = ckpt.restore_options(opt, state)
 
     model = MultiResPIFu(cfg=opt_model.netMR, cfg_global=opt_model.netG)
-    recon = Reconstructor(model, state["params"], opt_model)
+    # multi-chip host: shard the per-point inference pipeline (same
+    # auto-detection convention as run_train / run_recon)
+    mesh = make_device_mesh() if jax.device_count() > 1 else None
+    recon = Reconstructor(model, state["params"], opt_model, mesh=mesh)
     out_dir = os.path.join(opt.results_path, opt.name, "serve")
     os.makedirs(out_dir, exist_ok=True)
     if opt.use_color not in (0, 1, 2):
