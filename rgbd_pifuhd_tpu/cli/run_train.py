@@ -6,6 +6,12 @@ Examples:
     python -m rgbd_pifuhd_tpu.cli.run_train --stage coarse ...
     python -m rgbd_pifuhd_tpu.cli.run_train --stage normals ...
     python -m rgbd_pifuhd_tpu.cli.run_train --stage alternating ...
+
+Multi-host: launch one process per host with
+    --coordinator_address host0:1234 --num_processes N --process_id K
+(or the RGBD_COORDINATOR / RGBD_NUM_PROCESSES / RGBD_PROCESS_ID env vars);
+the device mesh then spans every chip of every host and the batch's 'data'
+axis shards across DCN (parallel/distributed.py).
 """
 
 from __future__ import annotations
@@ -33,9 +39,23 @@ def main(argv=None):
     if "--use_crop" in argv:
         use_crop = True
         argv.remove("--use_crop")
+    dist_kw = {}
+    for flag, key, cast in (("--coordinator_address", "coordinator_address",
+                             str),
+                            ("--num_processes", "num_processes", int),
+                            ("--process_id", "process_id", int)):
+        if flag in argv:
+            i = argv.index(flag)
+            dist_kw[key] = cast(argv[i + 1])
+            del argv[i:i + 2]
 
     opt = parse_options(argv)
-    print_options(opt)
+
+    # must run before any device computation (touches the backend)
+    from ..parallel.distributed import initialize_distributed, is_primary
+    initialize_distributed(**dist_kw)
+    if is_primary():
+        print_options(opt)
 
     from ..utils.jax_cache import enable_persistent_cache
     enable_persistent_cache()  # repeat runs skip the 20-120s compiles
@@ -48,7 +68,7 @@ def main(argv=None):
     elif stage == "coarse":
         pretrain_coarse(opt, mesh=mesh)
     elif stage == "normals":
-        pretrain_normals(opt)
+        pretrain_normals(opt, mesh=mesh)
     elif stage == "alternating":
         train_alternating(opt)
     elif stage == "eval":

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..data.datasets import TrainDataset, EvalDataset
+from ..parallel.distributed import is_primary, shard_host_batch
 from ..models.coarse import CoarsePIFu
 from ..models.multires import MultiResPIFu
 from ..models.pix2pix import GlobalGenerator
@@ -148,25 +149,28 @@ def train_fine(opt: Options, mesh=None, max_steps: int | None = None,
                               opt.seed + epoch):
             if max_steps is not None and global_step >= max_steps:
                 break
+            if mesh is not None:  # multi-host: keep this process's slice
+                batch = shard_host_batch(mesh, batch)
             with logger.timer.phase("net"):
                 params, opt_state, metrics = step(params, opt_state, batch)
                 loss = float(metrics["loss"])
             logger.record(loss)
-            if global_step % opt.freq_show == 0:
+            if global_step % opt.freq_show == 0 and is_primary():
                 logger.log_iter(epoch, global_step, steps_per_epoch
                                 * opt.num_epoch, loss,
                                 float(sched(global_step)))
             global_step += 1
             if max_steps is not None and global_step >= max_steps:
                 break
-        logger.save_epoch_errors(epoch)
-        ckpt.save_checkpoint(
-            ckpt.latest_path(opt.checkpoints_path, opt.name), params,
-            opt, opt_netG=opt, epoch=epoch)
-        if epoch % opt.freq_save == 0:
+        if is_primary():
+            logger.save_epoch_errors(epoch)
             ckpt.save_checkpoint(
-                ckpt.epoch_path(opt.checkpoints_path, opt.name, epoch),
-                params, opt, opt_netG=opt, epoch=epoch)
+                ckpt.latest_path(opt.checkpoints_path, opt.name), params,
+                opt, opt_netG=opt, epoch=epoch)
+            if epoch % opt.freq_save == 0:
+                ckpt.save_checkpoint(
+                    ckpt.epoch_path(opt.checkpoints_path, opt.name, epoch),
+                    params, opt, opt_netG=opt, epoch=epoch)
         if max_steps is not None and global_step >= max_steps:
             break
     return params
@@ -176,6 +180,12 @@ def train_fine(opt: Options, mesh=None, max_steps: int | None = None,
 def pretrain_coarse(opt: Options, mesh=None, max_steps: int | None = None,
                     params=None) -> Any:
     dataset = TrainDataset(opt, seed=opt.seed)
+    if len(dataset) < opt.batch_size:
+        # drop_last batching would otherwise run ZERO steps and still
+        # write an untrained checkpoint (same guard as train_fine)
+        raise RuntimeError(
+            f"dataset too small: {len(dataset)} items < batch_size "
+            f"{opt.batch_size}")
     model = CoarsePIFu(opt.netG)
     item = dataset[0]
     if params is None:
@@ -203,21 +213,24 @@ def pretrain_coarse(opt: Options, mesh=None, max_steps: int | None = None,
                               opt.seed + epoch):
             if max_steps is not None and global_step >= max_steps:
                 break
+            if mesh is not None:  # multi-host: keep this process's slice
+                batch = shard_host_batch(mesh, batch)
             with logger.timer.phase("net"):
                 params, opt_state, metrics = step(params, opt_state, batch)
                 loss = float(metrics["loss"])
             logger.record(loss)
-            if global_step % opt.freq_show == 0:
+            if global_step % opt.freq_show == 0 and is_primary():
                 logger.log_iter(epoch, global_step,
                                 steps_per_epoch * opt.num_epoch, loss,
                                 float(sched(global_step)))
             global_step += 1
             if max_steps is not None and global_step >= max_steps:
                 break
-        logger.save_epoch_errors(epoch)
-        ckpt.save_checkpoint(
-            ckpt.latest_path(opt.checkpoints_path, f"{opt.name}_netG"),
-            params, opt, epoch=epoch)
+        if is_primary():
+            logger.save_epoch_errors(epoch)
+            ckpt.save_checkpoint(
+                ckpt.latest_path(opt.checkpoints_path, f"{opt.name}_netG"),
+                params, opt, epoch=epoch)
         if max_steps is not None and global_step >= max_steps:
             break
     return params
@@ -226,7 +239,7 @@ def pretrain_coarse(opt: Options, mesh=None, max_steps: int | None = None,
 # ----------------------------------------------------------- normal pretrain
 def pretrain_normals(opt: Options, coarse_params=None,
                      max_steps: int | None = None,
-                     use_vgg: bool | str = "auto") -> Any:
+                     use_vgg: bool | str = "auto", mesh=None) -> Any:
     """Train netF and netB (pretrain_netG.train_nml parity).
 
     Returns coarse-model params with the trained netF/netB subtrees.
@@ -238,6 +251,10 @@ def pretrain_normals(opt: Options, coarse_params=None,
     (random features if no weights), False disables it.
     """
     dataset = TrainDataset(opt, load_mesh=False, seed=opt.seed)
+    if len(dataset) < opt.batch_size:
+        raise RuntimeError(
+            f"dataset too small: {len(dataset)} items < batch_size "
+            f"{opt.batch_size}")
     gen = GlobalGenerator(output_nc=3, ngf=opt.netG.nml_ngf,
                           n_downsampling=opt.netG.nml_n_downsampling,
                           n_blocks=opt.netG.nml_n_blocks)
@@ -267,8 +284,10 @@ def pretrain_normals(opt: Options, coarse_params=None,
             params = gen.init(jax.random.PRNGKey(opt.seed), images)
         tx = make_optimizer("adam", opt.learning_rate)
         opt_state = tx.init(params)
-        step = jax.jit(make_normal_train_step(
-            lambda p, x: gen.apply(p, x), tx, perceptual))
+        step_fn = make_normal_train_step(
+            lambda p, x: gen.apply(p, x), tx, perceptual)
+        step = (shard_train_step(step_fn, mesh) if mesh is not None
+                else jax.jit(step_fn))
 
         collate = make_collate_normals(target_key, style_key)
         montage_batch = collate([dataset[0]])  # fixed montage subject
@@ -278,16 +297,19 @@ def pretrain_normals(opt: Options, coarse_params=None,
             # prefetched, batched loader (same as train_fine/pretrain_coarse)
             for batch in _batches(dataset, opt.batch_size, collate,
                                   opt.seed + epoch):
+                if mesh is not None:  # multi-host: this process's slice
+                    batch = shard_host_batch(mesh, batch)
                 with logger.timer.phase("net"):
                     params, opt_state, m = step(params, opt_state, batch)
                 logger.record(float(m["loss"]))
                 global_step += 1
                 if max_steps is not None and global_step >= max_steps:
                     break
-            logger.save_epoch_errors(epoch)
-            if epoch % opt.freq_save == 0:
-                _save_normal_montage(opt, gen, params, montage_batch,
-                                     net_name, epoch)
+            if is_primary():
+                logger.save_epoch_errors(epoch)
+                if epoch % opt.freq_save == 0:
+                    _save_normal_montage(opt, gen, params, montage_batch,
+                                         net_name, epoch)
             if max_steps is not None and global_step >= max_steps:
                 break
         results[net_name] = params
@@ -295,9 +317,10 @@ def pretrain_normals(opt: Options, coarse_params=None,
             out_params["params"][net_name] = params["params"]
 
     if out_params is not None:
-        ckpt.save_checkpoint(
-            ckpt.latest_path(opt.checkpoints_path, f"{opt.name}_netG"),
-            out_params, opt, epoch=0)
+        if is_primary():
+            ckpt.save_checkpoint(
+                ckpt.latest_path(opt.checkpoints_path, f"{opt.name}_netG"),
+                out_params, opt, epoch=0)
         return out_params
     return results
 
@@ -407,15 +430,19 @@ def evaluate_checkpoints(opt: Options, max_items: int | None = None,
             bsz = min(bsz, n - count)
             if bsz < batch["labels"].shape[0]:  # max_items mid-batch clamp
                 batch = {k: v[:bsz] for k, v in batch.items()}
-            use = fwd if bsz % divisor == 0 else fwd_tail
+            use_sharded = bsz % divisor == 0 and fwd is not fwd_tail
+            if use_sharded:  # multi-host: keep this process's slice
+                batch = shard_host_batch(mesh, batch)
+            use = fwd if use_sharded or fwd is fwd_tail else fwd_tail
             errs.append(float(use(params, batch)))
             weights.append(bsz)
             count += bsz
         if not errs:
             raise RuntimeError(f"eval dataset is empty ({opt.dataroot})")
         results[epoch] = float(np.average(errs, weights=weights))
-        np.save(os.path.join(opt.checkpoints_path,
-                             f"{opt.name}_eval_epoch_{epoch}.npy"),
-                np.asarray(errs))
+        if is_primary():
+            np.save(os.path.join(opt.checkpoints_path,
+                                 f"{opt.name}_eval_epoch_{epoch}.npy"),
+                    np.asarray(errs))
         epoch += opt.freq_save
     return results

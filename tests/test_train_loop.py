@@ -52,6 +52,23 @@ def test_pretrain_coarse_runs(synth_root, tmp_path):
     assert "image_filter" in params["params"]
 
 
+def test_pretrain_guards_zero_step_epochs(synth_root, tmp_path):
+    """batch_size > len(dataset) must raise, not silently run zero steps
+    and still write an untrained checkpoint (drop_last batching).  Found
+    live: a 2-subject-per-batch-short drive wrote `*_latest` having never
+    stepped.  train_fine already guarded; coarse/normals must too."""
+    import dataclasses
+
+    from rgbd_pifuhd_tpu.train.loop import pretrain_coarse, pretrain_normals
+
+    opt = dataclasses.replace(make_opt(synth_root, str(tmp_path)),
+                              batch_size=10_000)
+    with pytest.raises(RuntimeError, match="dataset too small"):
+        pretrain_coarse(opt, max_steps=1)
+    with pytest.raises(RuntimeError, match="dataset too small"):
+        pretrain_normals(opt, max_steps=1, use_vgg=False)
+
+
 def test_pretrain_normals_runs(synth_root, tmp_path):
     from rgbd_pifuhd_tpu.train.loop import pretrain_normals
     import dataclasses
