@@ -328,3 +328,76 @@ def test_multires_full_model_parity(rng):
     np.testing.assert_allclose(got, t_preds, rtol=1e-3, atol=2e-3)
     np.testing.assert_array_equal(
         np.asarray(out.mask).reshape(B1, B2, N), t_masks)
+
+
+def _torch_custom_bce(pred, gt, gamma, eps=1e-5):
+    """CustomBCELoss mirror (/root/reference/net_util.py:51-66)."""
+    x_hat = torch.clamp(pred, eps, 1.0 - eps)
+    return -(gamma * gt * torch.log(x_hat)
+             + (1.0 - gamma) * (1.0 - gt) * torch.log(1.0 - x_hat)).mean()
+
+
+def test_coarse_training_gradient_parity(rng):
+    """Training DYNAMICS parity: d(loss)/d(params) of the coarse
+    pretraining objective (filter -> query -> per-stack CustomBCE mean,
+    pretrain_netG.py:315-319) must match the torch mirror's autograd.
+    Forward parity alone would not catch a wrong stop_gradient, a
+    detached buffer, or masked-label semantics that differ only in
+    backward."""
+    import jax
+
+    cfg, model, params, t_filter, t_mlp, img, pts, calib = _coarse_pair(rng)
+    labels = (rng.uniform(0, 1, (2, 128, 1)) < 0.5).astype(np.float32)
+    gamma = 0.5
+
+    # ---- jax: grad of the coarse pretraining loss wrt every param
+    def loss_fn(p):
+        err, _ = model.apply(p, jnp.asarray(img), jnp.asarray(pts),
+                             jnp.asarray(calib), jnp.asarray(labels),
+                             gamma, train=False)
+        return err
+
+    j_loss, j_grads = jax.value_and_grad(loss_fn)(params)
+    j_grads = j_grads["params"]
+
+    # ---- torch mirror: identical composition, autograd backward
+    t_img = torch.from_numpy(img).permute(0, 3, 1, 2)
+    t_outs, _ = t_filter(t_img)
+    t_pts = torch.from_numpy(pts).permute(0, 2, 1)
+    xyz = t_orthogonal(t_pts, torch.from_numpy(calib))
+    in_bb = (xyz >= -1.0) & (xyz <= 1.0)
+    t_mask = (in_bb[:, 0] & in_bb[:, 1] & in_bb[:, 2]).float()
+    z_feat = xyz[:, 2:3] * (cfg.load_size // 2) / cfg.z_size
+    uv = xyz[:, :2].permute(0, 2, 1)
+    t_labels = torch.from_numpy(labels).permute(0, 2, 1)  # [B, 1, N]
+    masked_labels = t_mask[:, None] * t_labels
+    total = 0.0
+    for s_feat in t_outs:
+        pf = t_index(s_feat, uv)
+        y, _ = t_mlp(torch.cat([pf, z_feat], 1))
+        total = total + _torch_custom_bce(t_mask[:, None] * y,
+                                          masked_labels, gamma)
+    t_loss = total / len(t_outs)
+    t_loss.backward()
+
+    np.testing.assert_allclose(float(j_loss), float(t_loss.detach()),
+                               rtol=1e-4, atol=1e-5)
+
+    # spot-check gradients at both ends of the network: the stem conv
+    # (gradient flowed through every stack, hourglass, and the MLP) and
+    # the first/last MLP layers
+    checks = [
+        (j_grads["image_filter"]["conv1"]["kernel"],
+         t_filter.conv1.weight.grad.numpy().transpose(2, 3, 1, 0)),
+        (j_grads["image_filter"]["conv1"]["bias"],
+         t_filter.conv1.bias.grad.numpy()),
+        (j_grads["mlp"]["dense0"]["kernel"],
+         t_mlp.convs[0].weight.grad.numpy()[:, :, 0].T),
+        (j_grads["mlp"][f"dense{len(t_mlp.convs) - 1}"]["bias"],
+         t_mlp.convs[-1].bias.grad.numpy()),
+    ]
+    for got, want in checks:
+        got = np.asarray(got)
+        scale = max(np.abs(want).max(), 1e-8)
+        np.testing.assert_allclose(got / scale, want / scale,
+                                   rtol=1e-3, atol=2e-3)
