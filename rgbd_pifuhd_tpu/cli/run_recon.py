@@ -104,6 +104,12 @@ def main(argv=None):
 
     model = MultiResPIFu(cfg=opt_model.netMR, cfg_global=opt_model.netG)
 
+    if params is not None and not demo_trained and state.get("torch_import"):
+        # reference .pth checkpoint: reconcile imported kernels against
+        # this model's template (3->6-channel netF/netB stems widen)
+        from ..utils.torch_import import reconcile_with_model
+        params = reconcile_with_model(params, model)
+
     if params is None:  # demo: fresh init
         item = dataset[0]
         calib = jnp.asarray(item["calib"], jnp.float32)

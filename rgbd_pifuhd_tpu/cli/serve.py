@@ -119,10 +119,15 @@ def main(argv=None):
     opt_model, _ = ckpt.restore_options(opt, state)
 
     model = MultiResPIFu(cfg=opt_model.netMR, cfg_global=opt_model.netG)
+    variables = state["params"]
+    if state.get("torch_import"):
+        # reference .pth checkpoint: widen 3-ch netF/netB stems etc.
+        from ..utils.torch_import import reconcile_with_model
+        variables = reconcile_with_model(variables, model)
     # multi-chip host: shard the per-point inference pipeline (same
     # auto-detection convention as run_train / run_recon)
     mesh = make_device_mesh() if jax.device_count() > 1 else None
-    recon = Reconstructor(model, state["params"], opt_model, mesh=mesh)
+    recon = Reconstructor(model, variables, opt_model, mesh=mesh)
     out_dir = os.path.join(opt.results_path, opt.name, "serve")
     os.makedirs(out_dir, exist_ok=True)
     if opt.use_color not in (0, 1, 2):

@@ -16,10 +16,10 @@ Functional re-design of the reference's networks.py zoo
   pure function since it needs integer instance maps.
 - ``NLayerDiscriminator`` / ``MultiscaleDiscriminator`` (networks.py:246-336).
 
-Weight-level checkpoint compatibility with PyTorch is a non-goal (the
-reference publishes no weights); architectural/behavioral parity is the
-contract.  ConvTranspose uses SAME padding (exact 2x upsampling) — same
-output geometry as torch k3/s2/p1/output_padding=1.
+Weight-level checkpoint compatibility with PyTorch IS supported
+(utils/torch_import.py): the up-convs use the torch-exact padding (see
+``UP_PAD``) so a torch ``ConvTranspose2d(k=3, s=2, p=1, output_padding=1)``
+state imports bit-close.
 """
 
 from __future__ import annotations
@@ -32,6 +32,14 @@ import flax.linen as nn
 from ..ops.resize import avg_pool2d
 
 conv_init = nn.initializers.normal(stddev=0.02)  # networks.py:13-22
+
+# torch ConvTranspose2d(k=3, s=2, p=1, output_padding=1) == zero-insertion
+# upsampling cross-correlated with the SPATIALLY FLIPPED kernel under
+# (1, 2) padding.  flax 'SAME' resolves to (2, 1) for k3/s2 — identical
+# output shape but one-pixel-shifted taps — so the torch-exact padding is
+# spelled out; checkpoint import (utils/torch_import.py) relies on this
+# alignment (verified to ~5e-7 in tests/test_torch_import.py).
+UP_PAD = ((1, 2), (1, 2))
 
 
 def reflect_pad(x: jax.Array, p: int) -> jax.Array:
@@ -95,7 +103,7 @@ class GlobalGenerator(nn.Module):
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)
             y = nn.ConvTranspose(self.ngf * mult // 2, (3, 3), strides=(2, 2),
-                                 padding="SAME", name=f"up{i}",
+                                 padding=UP_PAD, name=f"up{i}",
                                  kernel_init=conv_init)(y)
             y = nn.relu(InstanceNorm()(y))
         y = reflect_pad(y, 3)
@@ -137,7 +145,7 @@ class LocalEnhancer(nn.Module):
         for i in range(self.n_downsample_global):
             mult = 2 ** (self.n_downsample_global - i)
             y = nn.ConvTranspose(ngf_global * mult // 2, (3, 3), strides=(2, 2),
-                                 padding="SAME", name=f"g_up{i}",
+                                 padding=UP_PAD, name=f"g_up{i}",
                                  kernel_init=conv_init)(y)
             y = nn.relu(InstanceNorm()(y))
         output_prev = y
@@ -154,7 +162,7 @@ class LocalEnhancer(nn.Module):
         z = z + output_prev
         for i in range(self.n_blocks_local):
             z = ResnetBlock(self.ngf * 2, name=f"l_res{i}")(z)
-        z = nn.ConvTranspose(self.ngf, (3, 3), strides=(2, 2), padding="SAME",
+        z = nn.ConvTranspose(self.ngf, (3, 3), strides=(2, 2), padding=UP_PAD,
                              name="l_up", kernel_init=conv_init)(z)
         z = nn.relu(InstanceNorm()(z))
         z = reflect_pad(z, 3)
@@ -184,7 +192,7 @@ class Encoder(nn.Module):
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)
             y = nn.ConvTranspose(self.ngf * mult // 2, (3, 3), strides=(2, 2),
-                                 padding="SAME", name=f"up{i}",
+                                 padding=UP_PAD, name=f"up{i}",
                                  kernel_init=conv_init)(y)
             y = nn.relu(InstanceNorm()(y))
         y = reflect_pad(y, 3)

@@ -121,7 +121,14 @@ def train_fine(opt: Options, mesh=None, max_steps: int | None = None,
         params = init_multires_params(opt, model, dataset[0])
         if opt.load_netG_checkpoint_path:
             g = ckpt.load_checkpoint(opt.load_netG_checkpoint_path)
-            params["params"]["netG"] = g["params"]["params"]
+            sub = g["params"]["params"]
+            if g.get("torch_import"):
+                # reference .pth import: widen 3-ch netF/netB stems etc.
+                # against the freshly-initialized netG subtree
+                from ..utils.torch_import import reconcile_input_channels
+                sub = reconcile_input_channels(
+                    sub, params["params"]["netG"])
+            params["params"]["netG"] = sub
         if opt.continue_train:
             path = (
                 ckpt.epoch_path(opt.checkpoints_path, opt.name,

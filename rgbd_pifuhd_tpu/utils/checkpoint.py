@@ -53,6 +53,15 @@ def save_checkpoint(
 
 
 def load_checkpoint(path: str) -> dict:
+    from .torch_import import is_torch_checkpoint
+
+    if is_torch_checkpoint(path):
+        # a PyTorch reference checkpoint (train.py:211-212 /
+        # pretrain_netG.py:227 format, or a raw state_dict save):
+        # convert in place so --load_*_checkpoint_path accepts either
+        from .torch_import import load_reference_checkpoint
+
+        return load_reference_checkpoint(path)
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     return payload
@@ -60,6 +69,10 @@ def load_checkpoint(path: str) -> dict:
 
 def restore_options(cli_opt: Options, ckpt: dict) -> tuple[Options, Options]:
     """Checkpoint opts override CLI except the four kept fields."""
+    if not ckpt.get("opt"):
+        # raw torch state_dict saves (pretrain_netG.py:98 style) embed no
+        # options: keep the CLI configuration as-is
+        return cli_opt, cli_opt
     opt = cli_opt.restore_from_checkpoint_dict(ckpt["opt"])
     opt_netG = Options.from_dict(ckpt["opt_netG"])
     return opt, opt_netG

@@ -21,12 +21,42 @@ import os
 _ENABLED = False
 
 
+def _host_fingerprint() -> str:
+    """Short digest of what makes XLA:CPU AOT artifacts host-specific.
+
+    The persistent cache stores CPU AOT results compiled against the
+    build host's exact feature set; loading them on a host with
+    different features logs cpu_aot_loader errors and risks SIGILL.
+    Keying the default cache dir by (jax version, machine, cpuinfo
+    flags) gives each distinct host its own cache instead.
+    """
+    import hashlib
+    import platform
+
+    parts = [platform.machine(), platform.python_version()]
+    try:
+        import jax
+
+        parts.append(jax.__version__)
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    parts.append(line.strip())
+                    break
+    except OSError:
+        pass
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+
+
 def enable_persistent_cache(path: str | None = None) -> str | None:
     """Point jax at an on-disk compilation cache and return its path.
 
     Resolution order: explicit ``path`` arg, ``RGBD_PIFUHD_JAX_CACHE``
-    env var, ``~/.cache/rgbd_pifuhd_tpu/jax``.  Set the env var to ``0``
-    or ``off`` to disable entirely.
+    env var, ``~/.cache/rgbd_pifuhd_tpu/jax-<host-fingerprint>``.  Set
+    the env var to ``0`` or ``off`` to disable entirely.
     """
     global _ENABLED
     env = os.environ.get("RGBD_PIFUHD_JAX_CACHE", "")
@@ -36,7 +66,8 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
         return _ENABLED if isinstance(_ENABLED, str) else None
     cache_dir = (path or env
                  or os.path.join(os.path.expanduser("~"), ".cache",
-                                 "rgbd_pifuhd_tpu", "jax"))
+                                 "rgbd_pifuhd_tpu",
+                                 f"jax-{_host_fingerprint()}"))
     try:
         os.makedirs(cache_dir, exist_ok=True)
         import jax
