@@ -58,6 +58,78 @@ def run_with_retry(fn, attempts: int = 3, label: str = ""):
             time.sleep(5.0 * (k + 1))
 
 
+def _flagship_trained_field(repo: str):
+    """Load (or regenerate) the trained FLAGSHIP checkpoint.
+
+    Returns ``(params, opt_model, data)`` — trained flagship params (f32 on
+    device), the checkpoint's embedded Options, and the capsule subject's
+    data dict at flagship load sizes — or None when no checkpoint exists
+    and in-bench regeneration is disabled/fails.
+
+    The checkpoint (~770 MB f16, scripts/train_bench_flagship.py) is too
+    large to commit; it lives in ``~/.cache/rgbd_pifuhd_tpu/flagship``.
+    When absent, the bench TRAINS it in-process at reduced step counts
+    (BENCH_TRAIN_FLAGSHIP=0 disables) — data and params stay device-
+    resident during training, so the slow tunnel link is not on the
+    training path.
+    """
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "train_bench_flagship",
+        os.path.join(repo, "scripts", "train_bench_flagship.py"))
+    tbf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tbf)
+
+    ckpt_path = os.environ.get(
+        "RGBD_PIFUHD_FLAGSHIP_CKPT",
+        os.path.join(tbf.DEFAULT_OUT, "ckpt"))
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    dataroot = os.path.join(base, "rgbd_flagship_data")
+    if not os.path.exists(ckpt_path):
+        if os.environ.get("BENCH_TRAIN_FLAGSHIP", "1") != "1":
+            return None
+        import sys
+        print("[bench] no flagship checkpoint: training in-bench "
+              "(reduced steps)", file=sys.stderr)
+        try:
+            ckpt_path = tbf.train_flagship(
+                dataroot, os.path.dirname(ckpt_path) or ".",
+                steps_nml=200, steps_coarse=800, steps_fine=800,
+                log_every=100)
+        except Exception as e:  # noqa: BLE001 — fall back to tiny blend
+            if _is_transient(e):
+                raise
+            print(f"[bench] in-bench flagship training failed: {e}",
+                  file=sys.stderr)
+            return None
+
+    import jax
+    import jax.numpy as jnp
+    from rgbd_pifuhd_tpu.data.datasets import TrainDataset
+    from rgbd_pifuhd_tpu.utils import checkpoint as ckpt_mod
+    from rgbd_pifuhd_tpu.utils.options import Options
+
+    state = ckpt_mod.load_checkpoint(ckpt_path)
+    opt_model = Options.from_dict(state["opt"])
+    # upload f16 (half the bytes over the tunnel), cast to f32 on device
+    params = jax.tree.map(
+        lambda x: jnp.asarray(x).astype(jnp.float32)
+        if getattr(x, "dtype", None) == np.float16 else jnp.asarray(x),
+        state["params"])
+
+    tbf.ensure_flagship_dataset(dataroot)
+    import dataclasses
+    ds = TrainDataset(dataclasses.replace(opt_model, dataroot=dataroot),
+                      load_mesh=False, seed=0)
+    idx = next(i for i in range(len(ds))
+               if "capsule" in os.path.basename(ds.img_files[i]))
+    item = ds[idx]
+    data = {"img": jnp.asarray(item["img"]),
+            "img_512": jnp.asarray(item["img_512"])[None],
+            "calib": jnp.asarray(item["calib"], jnp.float32)}
+    return params, opt_model, data
+
+
 def _tiny_trained_field(repo: str):
     """Load the committed trained-tiny checkpoint and the capsule subject.
 
@@ -140,7 +212,7 @@ def _tiny_trained_field(repo: str):
     data = {"img": jnp.asarray(fitem["img"]),
             "img_512": jnp.asarray(fitem["img_512"])[None],
             "calib": jnp.asarray(fitem["calib"], jnp.float32)}
-    return tiny_occ, data
+    return tiny_occ, data, (cfg_mr, cfg_g)
 
 
 def main():
@@ -157,36 +229,55 @@ def main():
     import dataclasses
 
     resolution = 512
-    cfg_g, cfg_l, _, _ = _configs(tiny=False)
-    # bf16 activations for the inference path (params stay f32)
-    cfg_g = dataclasses.replace(cfg_g, compute_dtype="bfloat16")
-    cfg_l = dataclasses.replace(cfg_l, compute_dtype="bfloat16")
-    model = MultiResPIFu(cfg=cfg_l, cfg_global=cfg_g)
-
     repo = os.path.dirname(os.path.abspath(__file__))
-    tiny = run_with_retry(lambda: _tiny_trained_field(repo),
-                          label="trained-tiny field setup")
-
     rng = np.random.default_rng(0)
     f32 = np.float32
-    if tiny is not None:
-        tiny_occ, data0 = tiny
+
+    # ---- preferred surface: the TRAINED FLAGSHIP model's own field
+    # (scripts/train_bench_flagship.py) — gen_mesh runs it end-to-end
+    # with no blend.  Falls back to the round-3 scheme (untrained
+    # flagship compute blended 1e-6 over the trained-tiny field /
+    # analytic capsule) when no flagship checkpoint can be produced.
+    flag = run_with_retry(lambda: _flagship_trained_field(repo),
+                          label="flagship field setup")
+    tiny = None
+    if flag is not None:
+        params, opt_model, data0 = flag
+        cfg_g, cfg_l = opt_model.netG, opt_model.netMR  # bf16 embedded
+        model = MultiResPIFu(cfg=cfg_l, cfg_global=cfg_g)
         img_l, img_g = data0["img"], data0["img_512"]
         calib = data0["calib"]
+        surface_label = "trained flagship field"
     else:
-        img_g = jnp.asarray(
-            rng.standard_normal((1, 512, 512, 6)).astype(f32))
-        img_l = jnp.asarray(
-            rng.standard_normal((1, 1024, 1024, 6)).astype(f32))
-        calib = jnp.eye(4, dtype=jnp.float32)
+        cfg_g, cfg_l, _, _ = _configs(tiny=False)
+        # bf16 activations for the inference path (params stay f32)
+        cfg_g = dataclasses.replace(cfg_g, compute_dtype="bfloat16")
+        cfg_l = dataclasses.replace(cfg_l, compute_dtype="bfloat16")
+        model = MultiResPIFu(cfg=cfg_l, cfg_global=cfg_g)
 
-    params = run_with_retry(
-        lambda: jax.jit(model.init)(
-            jax.random.PRNGKey(0), img_l[None], img_g,
-            jnp.zeros((1, 1, 8, 3), f32), calib[None, None], calib[None],
-            jnp.zeros((1, 1, 8, 1), f32),
-        ),
-        label="model.init")
+        tiny = run_with_retry(lambda: _tiny_trained_field(repo),
+                              label="trained-tiny field setup")
+        if tiny is not None:
+            tiny_occ, data0, (t_opt_netmr, t_opt_netg) = tiny
+            img_l, img_g = data0["img"], data0["img_512"]
+            calib = data0["calib"]
+        else:
+            img_g = jnp.asarray(
+                rng.standard_normal((1, 512, 512, 6)).astype(f32))
+            img_l = jnp.asarray(
+                rng.standard_normal((1, 1024, 1024, 6)).astype(f32))
+            calib = jnp.eye(4, dtype=jnp.float32)
+
+        params = run_with_retry(
+            lambda: jax.jit(model.init)(
+                jax.random.PRNGKey(0), img_l[None], img_g,
+                jnp.zeros((1, 1, 8, 3), f32), calib[None, None],
+                calib[None], jnp.zeros((1, 1, 8, 1), f32),
+            ),
+            label="model.init")
+        surface_label = ("trained-tiny two-level field (assets/bench_tiny)"
+                         if tiny is not None
+                         else "analytic capsule (fallback)")
 
     def capsule_occ(pts):
         """Human-scale analytic surface (vertical capsule, NDC coords) —
@@ -195,18 +286,17 @@ def main():
         d = jnp.sqrt(pts[:, 0] ** 2 + pts[:, 1] ** 2 + dz ** 2)
         return jax.nn.sigmoid((0.36 - d) * 170.0)
 
-    surface_occ = tiny_occ if tiny is not None else capsule_occ
-
     class BenchReconstructor(Reconstructor):
-        """Flagship query blended (1e-6) with the surface field: FULL
-        flagship compute runs per query point (the blend is not
-        DCE-able), while the iso-surface comes from the TRAINED tiny
-        two-level model's field (assets/bench_tiny, world coords shared
-        with the flagship calib) — or the analytic capsule fallback."""
+        """Round-3 fallback: flagship query blended (1e-6) with a stand-in
+        surface field — FULL flagship compute runs per query point (the
+        blend is not DCE-able), while the iso-surface comes from the
+        TRAINED tiny two-level model's field (assets/bench_tiny, world
+        coords shared with the flagship calib) or the analytic capsule."""
 
         def __init__(self, model, params, opt):
             super().__init__(model, params, opt)
             inner = self._query
+            surface_occ = tiny_occ if tiny is not None else capsule_occ
 
             def blended(world_pts, *args):
                 return (surface_occ(world_pts)
@@ -215,7 +305,8 @@ def main():
             self._query = blended
 
     opt = Options(resolution=resolution, use_octree=True)
-    recon = BenchReconstructor(model, params, opt)
+    recon = (Reconstructor(model, params, opt) if flag is not None
+             else BenchReconstructor(model, params, opt))
     data = {"img": img_l, "img_512": img_g, "calib": calib}
 
     # RAM-backed output dir: measures the pipeline, not the sandbox disk
@@ -224,25 +315,57 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
     obj_path = os.path.join(out_dir, "bench.obj")
 
-    # ---- warmup (compile everything once, then one more pass so the OS
-    # page cache / tunnel connection pool are hot before timing starts —
-    # measured runs warm monotonically for the first 2-3 passes otherwise)
-    r = run_with_retry(lambda: recon.gen_mesh(data, obj_path, resolution),
-                       label="warmup gen_mesh")
-    recon.gen_mesh(data, obj_path, resolution)
+    # ---- warmup: first pass compiles everything; then keep running until
+    # two consecutive passes agree within 5% (sandbox caches / tunnel
+    # connection pools warm over several passes — BENCH_r03's timed runs
+    # were still warming at run 7), capped at 6 passes total.
+    prev = None
+    for widx in range(6):
+        t0 = time.time()
+        r = run_with_retry(lambda: recon.gen_mesh(data, obj_path, resolution),
+                           label=f"warmup gen_mesh {widx + 1}")
+        dt = time.time() - t0
+        if prev is not None and widx >= 1 and \
+                abs(dt - prev) <= 0.05 * min(dt, prev):
+            break
+        prev = dt
 
-    # ---- headline: one continuous gen_mesh.  The sandbox host CPU and
-    # tunnel are throttled erratically (identical runs vary >2x), so take
-    # the best of 8 — standard interference-removal; every phase of the
-    # best run really executed back-to-back.
+    # ---- headline + opt-in output paths, sampled ROUND-ROBIN so all
+    # three see the same machine-state distribution (BENCH_r03 sampled
+    # ply/serving best-of-3 after the headline's best-of-8, which made
+    # the strictly-cheaper serving path read slower than plain PLY).
+    # The sandbox host CPU and tunnel are throttled erratically
+    # (identical runs vary >2x), so each path reports the min of its 8
+    # samples (interference removal; every phase of the best run really
+    # executed back-to-back) with the median alongside as the robust
+    # statistic.  Selection rule: min of N=8, fixed from round 3 on
+    # (rounds 1-2 used best-of-5).
+    ply_path = os.path.join(out_dir, "bench.ply")
+    serving_path = os.path.join(out_dir, "bench_serving.ply")
+    opt_serving = dataclasses.replace(opt, normal_mode="mesh")
     times, phases = [], []
+    ply_times, serving_times = [], []
     for _ in range(8):
         t0 = time.time()
         r = recon.gen_mesh(data, obj_path, resolution)
         times.append(time.time() - t0)
         phases.append(r["phases"])
+        # opt-in: same gen_mesh, binary-PLY save path (near-memcpy write)
+        t0 = time.time()
+        recon.gen_mesh(data, ply_path, resolution)
+        ply_times.append(time.time() - t0)
+        # opt-in serving fast path: geometric mesh normals (zero device
+        # color work) + binary PLY; normal_mode is read at call time so
+        # flipping opt reuses every compiled computation
+        recon.opt = opt_serving
+        t0 = time.time()
+        recon.gen_mesh(data, serving_path, resolution)
+        serving_times.append(time.time() - t0)
+        recon.opt = opt
     best = int(np.argmin(times))
     secs = float(times[best])
+    ply_secs = float(min(ply_times))
+    serving_secs = float(min(serving_times))
 
     # ---- phase breakdown (separately timed; NOT the headline number)
     # NOTE: block_until_ready does NOT synchronize on the tunneled axon
@@ -329,32 +452,6 @@ def main():
     if not pipeline_engaged:
         serial3 = piped = min(serial3, piped)
 
-    # ---- serving output format: the same gen_mesh with a binary-PLY
-    # save path (near-memcpy write; host-measured 0.085 s vs 0.368 s OBJ
-    # at 1.3M verts, 53 vs 120 MB).  The headline stays text-OBJ for
-    # reference parity (mesh_util.py:189-198); this is the opt-in
-    # `--mesh_format ply` serving path.
-    ply_path = os.path.join(out_dir, "bench.ply")
-    ply_secs = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        recon.gen_mesh(data, ply_path, resolution)
-        ply_secs = min(ply_secs, time.time() - t0)
-
-    # ---- serving fast path: geometric mesh normals (normal_mode='mesh',
-    # ZERO device color work — the fd-normal MLP taps disappear entirely)
-    # + binary PLY.  The maximum-throughput opt-in configuration
-    # (`--normal_mode mesh --mesh_format ply`); normal_mode is read at
-    # call time, so flipping opt reuses every compiled computation.
-    recon.opt = dataclasses.replace(opt, normal_mode="mesh")
-    serving_path = os.path.join(out_dir, "bench_serving.ply")
-    serving_secs = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        recon.gen_mesh(data, serving_path, resolution)
-        serving_secs = min(serving_secs, time.time() - t0)
-    recon.opt = opt
-
     # ---- grid-query throughput: points evaluated inside the two-phase
     # jit divided by its wall time (includes the sparse transfer, so this
     # is conservative).  Per-call standalone timing over the tunnel is
@@ -363,35 +460,71 @@ def main():
     # honest one.
     pps = n_eval_pts / t_field
 
+    # ---- flops-counted MFU per device phase (VERDICT r3 task 2).
+    # Encode: XLA's own HLO flop count of the two encoder jits (lowered
+    # client-side, no execution).  Field eval: analytic per-point MLP
+    # MACs (utils/flops.py) x points actually evaluated — the MLP chain
+    # is ~all the field-phase device flops (feature sampling is gathers).
+    # MFU denominators use the chip's published bf16 peak; t_field
+    # includes the sparse device->host transfer, so field MFU is
+    # conservative.
+    from rgbd_pifuhd_tpu.utils.flops import (
+        device_peak_flops, lowered_flops, two_level_query_flops_per_point)
+    f_enc_g = lowered_flops(recon._filter_global, params, img_g)
+    f_enc_l = lowered_flops(recon._filter_local, params, img_l[None],
+                            g_feats)
+    flops_encode = (f_enc_g + f_enc_l) if (f_enc_g and f_enc_l) else None
+    per_pt = two_level_query_flops_per_point(cfg_l, cfg_g)
+    if flag is None and tiny is not None:
+        # the blended fallback also runs the trained-tiny model per point
+        per_pt += two_level_query_flops_per_point(t_opt_netmr, t_opt_netg)
+    flops_field = per_pt * n_eval_pts
+    peak = device_peak_flops(jax.devices()[0])
+    mfu = {
+        "achieved_tflops_encode": (round(flops_encode / t_enc / 1e12, 2)
+                                   if flops_encode else None),
+        "achieved_tflops_field": round(flops_field / t_field / 1e12, 2),
+        "mfu_encode": (round(flops_encode / t_enc / peak, 4)
+                       if flops_encode and peak else None),
+        "mfu_field": (round(flops_field / t_field / peak, 4)
+                      if peak else None),
+        "peak_bf16_tflops": round(peak / 1e12, 1) if peak else None,
+    }
+
     print(json.dumps({
         "metric": "secs_per_mesh_512_coarse_fine",
         "value": round(secs, 4),
         "unit": "s",
         "vs_baseline": round(secs / 2.0, 4),
         "runs_s": [round(t, 3) for t in times],
+        "median_s": round(float(np.median(times)), 4),
         "best_run_phases": phases[best],
         "r1_composition_s": round(t_enc + t_field + t_march, 4),
         "serial_secs_per_mesh": round(serial3, 4),
         "pipelined_secs_per_mesh": round(piped, 4),
         "pipeline_engaged": pipeline_engaged,
         "ply_secs_per_mesh": round(ply_secs, 4),
+        "ply_median_s": round(float(np.median(ply_times)), 4),
         "serving_secs_per_mesh": round(serving_secs, 4),
+        "serving_median_s": round(float(np.median(serving_times)), 4),
         "grid_diag": recon.last_grid_diag,
         "encode_s": round(t_enc, 4),
         "field_eval_and_transfer_s": round(t_field, 4),
         "sparse_marching_s": round(t_march, 4),
         "transfer_mb": round(xfer_mb, 2),
         "grid_query_pts_per_sec_per_chip": round(pps),
+        **mfu,
         "mesh_verts": int(len(r["verts"])),
-        "surface": ("trained-tiny two-level field (assets/bench_tiny)"
-                    if tiny is not None else "analytic capsule (fallback)"),
+        "surface": surface_label,
         "device": str(jax.devices()[0]),
         "note": ("headline = one continuous gen_mesh (encode + sparse "
                  "512^3 eval + sparse-direct marching + fd-normal coloring "
-                 "+ OBJ write) — a STRICTLY LARGER composition than round "
-                 "1's stitched encode+volume+marching, which is reported "
-                 "as r1_composition_s for apples-to-apples (r1 recorded "
-                 "2.36 there). serial_secs_per_mesh and "
+                 "+ OBJ write). Selection rule: min of N=8 timed passes "
+                 "(N fixed since round 3; rounds 1-2 used best-of-5), "
+                 "median_s reported alongside; warmup loops until two "
+                 "consecutive passes agree within 5% (max 6). headline/"
+                 "ply/serving are sampled ROUND-ROBIN (8 samples each) so "
+                 "their mins are comparable. serial_secs_per_mesh and "
                  "pipelined_secs_per_mesh are measured back-to-back in "
                  "order-swapped rounds on identical machine state; on "
                  "this 1-core host gen_mesh_many auto-falls-back to the "
@@ -399,10 +532,12 @@ def main():
                  "marching with one core — measured +0.3-0.5 s/mesh of "
                  "pure contention), so the two numbers measure the same "
                  "code path here; the two-slot worker pipeline engages "
-                 "on multi-core hosts. Device reached through a slow "
-                 "dev tunnel and a single throttled host core, so "
-                 "transfers and host stages are overstated vs any "
-                 "production host"),
+                 "on multi-core hosts. mfu_* = counted flops / time / "
+                 "published bf16 peak; t_field includes the sparse "
+                 "device->host transfer (conservative). Device reached "
+                 "through a slow dev tunnel and a single throttled host "
+                 "core, so transfers and host stages are overstated vs "
+                 "any production host"),
     }))
 
 

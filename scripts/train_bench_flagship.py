@@ -1,0 +1,272 @@
+"""Train the FLAGSHIP-config model whose field bench.py reconstructs.
+
+Round 3's bench surface was a trained *tiny* model blended at 1e-6 under
+untrained flagship compute.  This script closes that gap (VERDICT round 3
+task 1): it trains the actual flagship architecture — 4-stack/256-ch
+coarse encoder, full-res fine encoder, both pix2pixHD normal nets, 384.6M
+params (__graft_entry__._configs(tiny=False)) — on the framework's own
+synthetic multi-subject dataset with the reference's three-stage recipe:
+
+1. pretrain netF/netB on GT normal maps (pretrain_netG.py:68-229; L1-only
+   since no pretrained VGG16 exists in this environment — the measured
+   better choice, see scripts/vgg_gap_study.py),
+2. pretrain the coarse level (pretrain_netG.py:231-344) with the trained
+   normal nets frozen (stop_gradient, PIFuNetwNML semantics),
+3. train the fine level on 512^2 crop windows with the frozen coarse
+   (train.py:159-204, use_crop).
+
+The checkpoint (f16, ~770 MB — too large to commit) is written to
+``~/.cache/rgbd_pifuhd_tpu/flagship/ckpt`` where bench.py looks for it;
+bench.py regenerates it in-bench (fewer steps) when absent.
+
+Run on the real TPU (~10-20 min including compiles):
+    python scripts/train_bench_flagship.py [--steps-fine 1200] [--out DIR]
+"""
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# One module owns the dataset recipe + configs shared between training
+# here and inference in bench.py (same discipline as train_bench_tiny).
+FLAG_DATA_KW = dict(subjects=("sphere", "capsule"), size=1024,
+                    load_size=1024, seed=0)
+
+DEFAULT_OUT = os.path.expanduser("~/.cache/rgbd_pifuhd_tpu/flagship")
+
+
+def flagship_options(dataroot: str):
+    """Flagship training Options: the graft-entry configs (bf16 compute)
+    over 1024^2 renders, 512^2 global input, 4096 sample points."""
+    from __graft_entry__ import _configs
+    from rgbd_pifuhd_tpu.utils.options import Options
+
+    cfg_g, cfg_l, _, _ = _configs(tiny=False)
+    cfg_g = dataclasses.replace(cfg_g, compute_dtype="bfloat16")
+    cfg_l = dataclasses.replace(cfg_l, compute_dtype="bfloat16")
+    return Options(dataroot=dataroot, load_size=1024, load_size_big=1024,
+                   load_size_local=512, num_sample_inout=4096, sigma=8.0,
+                   netG=cfg_g, netMR=cfg_l)
+
+
+def ensure_flagship_dataset(root: str) -> str:
+    from rgbd_pifuhd_tpu.data.synthetic import generate_synthetic_dataset
+    if not os.path.isdir(os.path.join(
+            root, "RENDER", FLAG_DATA_KW["subjects"][-1])):
+        generate_synthetic_dataset(root, **FLAG_DATA_KW)
+    return root
+
+
+def _memoize_imread():
+    """Cache cv2.imread by path for this process: the trainer re-reads the
+    same 4 renders thousands of times through TrainDataset.__getitem__ on
+    one throttled host core."""
+    import cv2
+
+    orig = cv2.imread
+    if getattr(cv2.imread, "_flagship_memo", False):
+        return
+    cache: dict = {}
+
+    def imread(path, *a):
+        key = (path,) + a
+        if key not in cache:
+            cache[key] = orig(path, *a)
+        v = cache[key]
+        return None if v is None else v.copy()
+
+    imread._flagship_memo = True
+    cv2.imread = imread
+
+
+def train_flagship(dataroot: str, out_dir: str, steps_nml: int = 300,
+                   steps_coarse: int = 1200, steps_fine: int = 1200,
+                   log_every: int = 50, seed: int = 0) -> str:
+    """Three-stage flagship training; returns the checkpoint path.
+
+    Loss readbacks happen every ``log_every`` steps only — each readback
+    costs a ~20-40 ms tunnel round trip, and async dispatch keeps the
+    device busy between them.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from rgbd_pifuhd_tpu.data.datasets import TrainDataset
+    from rgbd_pifuhd_tpu.models import CoarsePIFu, MultiResPIFu
+    from rgbd_pifuhd_tpu.models.pix2pix import GlobalGenerator
+    from rgbd_pifuhd_tpu.train.trainers import (
+        make_coarse_train_step, make_fine_train_step,
+        make_normal_train_step, make_optimizer)
+    from rgbd_pifuhd_tpu.utils import checkpoint as ckpt
+    from rgbd_pifuhd_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    _memoize_imread()
+    t_start = time.time()
+
+    opt = flagship_options(ensure_flagship_dataset(dataroot))
+    cfg_g = opt.netG
+    ds = TrainDataset(opt, seed=seed)
+    n_items = len(ds)
+    assert n_items >= 1, f"empty dataset at {dataroot}"
+
+    def log(stage, i, total, loss):
+        print(f"[{stage} {i}/{total}] loss={loss:.4f} "
+              f"(t+{time.time() - t_start:.0f}s)", flush=True)
+
+    # ---- stage 1: normal nets on GT normal maps (L1-only)
+    gen = GlobalGenerator(output_nc=3, ngf=cfg_g.nml_ngf,
+                          n_downsampling=cfg_g.nml_n_downsampling,
+                          n_blocks=cfg_g.nml_n_blocks)
+    items = [ds[i] for i in range(n_items)]  # images fixed; crop/points not
+    nml_params = {}
+    for net_name, target_key in (("netF", "imF"), ("netB", "imB")):
+        batches = [
+            {"images": jnp.asarray(it["img"][0])[None],
+             "target": jnp.asarray(it[target_key])[None]}
+            for it in items
+        ]
+        params = gen.init(jax.random.PRNGKey(seed), batches[0]["images"])
+        tx = make_optimizer("adam", 2e-4)
+        opt_state = tx.init(params)
+        step = jax.jit(make_normal_train_step(
+            lambda p, x: gen.apply(p, x), tx, perceptual_fn=None))
+        for i in range(steps_nml):
+            params, opt_state, m = step(params, opt_state,
+                                        batches[i % n_items])
+            if i % log_every == 0 or i + 1 == steps_nml:
+                log(net_name, i, steps_nml, float(m["loss"]))
+        nml_params[net_name] = params["params"]
+
+    # Per-step host->device traffic must stay tiny: the tunnel link runs
+    # ~16 MB/s, so images are uploaded ONCE per subject and stay device-
+    # resident; each step uploads only fresh sample points/labels (~64 KB).
+    from rgbd_pifuhd_tpu.data.datasets import _calib_from_param
+    from rgbd_pifuhd_tpu.data.preprocessing import rect_to_ndc_transform
+    from rgbd_pifuhd_tpu.data.sampling import sample_occupancy_points
+
+    img_g = [jnp.asarray(it["img_512"])[None] for it in items]      # 512^2
+    img_big = [jnp.asarray(it["img"]) for it in items]        # [1,1024^2,6]
+    calib_g = [jnp.asarray(it["calib"], jnp.float32)[None] for it in items]
+    geom = []  # (verts, faces, tester, calib, intr_local, extrinsic)
+    for it in items:
+        v, fc = ds.meshes[it["name"]]
+        param = np.load(os.path.join(
+            dataroot, "PARAM", it["name"], "0_0_00.npy"),
+            allow_pickle=True).item()
+        calib_np, extrinsic = _calib_from_param(param, opt.load_size)
+        intr_local = calib_np @ np.linalg.inv(extrinsic)
+        geom.append((v, fc, ds.testers[it["name"]], calib_np, intr_local,
+                     extrinsic))
+    rng = np.random.default_rng(seed)
+
+    def sample_batch(k: int):
+        v, fc, tester, *_ = geom[k]
+        s, lbl = sample_occupancy_points(
+            v, fc, opt.num_sample_inout, ds.b_min, ds.b_max, rng,
+            sigma=opt.sigma, tester=tester)
+        return jnp.asarray(s), jnp.asarray(lbl)
+
+    # ---- stage 2: coarse pretrain with frozen trained normal nets
+    coarse = CoarsePIFu(cfg_g)
+    s0, l0 = sample_batch(0)
+    g_vars = coarse.init(jax.random.PRNGKey(seed), img_g[0], s0[None],
+                         calib_g[0], l0[None])
+    g_params = dict(g_vars["params"])
+    g_params["netF"] = nml_params["netF"]
+    g_params["netB"] = nml_params["netB"]
+    g_vars = {**g_vars, "params": g_params}
+    tx = make_optimizer("rmsprop", opt.learning_rate)
+    g_state = tx.init(g_vars["params"])
+    g_step = jax.jit(make_coarse_train_step(coarse, tx, gamma=0.5))
+    for i in range(steps_coarse):
+        k = i % n_items
+        s, lbl = sample_batch(k)
+        batch = {"images": img_g[k], "points": s[None],
+                 "calibs": calib_g[k], "labels": lbl[None]}
+        g_vars, g_state, m = g_step(g_vars, g_state, batch)
+        if i % log_every == 0 or i + 1 == steps_coarse:
+            log("coarse", i, steps_coarse, float(m["loss"]))
+
+    # ---- stage 3: fine training on 512^2 crops, frozen coarse.
+    # The crop window rect=[256, U(10,512), 512, 512] (TrainDataset
+    # use_crop, reference TrainDataset.py:223-237) is sliced ON DEVICE
+    # out of the resident 1024^2 stack; its NDC transform folds into
+    # calib_local on host exactly as the dataset does.
+    model = MultiResPIFu(cfg=opt.netMR, cfg_global=cfg_g,
+                         train_full_pifu=False)
+
+    @jax.jit
+    def crop512(im, y):
+        return jax.lax.dynamic_slice(im, (0, y, 256, 0), (1, 512, 512, 6))
+
+    def crop_batch(k: int, i: int):
+        y = int(rng.integers(10, 512))
+        im_local = crop512(img_big[k], y)[None]       # [1, 1, 512, 512, 6]
+        trans = rect_to_ndc_transform([256, y, 512, 512], 1024, 1024,
+                                      flip_y=True)
+        _, _, _, _, intr_local, extrinsic = geom[k]
+        calib_local = (trans @ intr_local @ extrinsic).astype(np.float32)
+        s, lbl = sample_batch(k)
+        return {"images_local": im_local, "images_global": img_g[k],
+                "points": s[None, None],
+                "calib_local": jnp.asarray(calib_local)[None, None],
+                "calib_global": calib_g[k], "labels": lbl[None, None]}
+
+    b0 = crop_batch(0, 0)
+    f_vars = model.init(
+        jax.random.PRNGKey(seed + 1), b0["images_local"],
+        b0["images_global"], b0["points"], b0["calib_local"],
+        b0["calib_global"], b0["labels"])
+    f_params = dict(f_vars["params"])
+    f_params["netG"] = g_vars["params"]
+    f_vars = {**f_vars, "params": f_params}
+    tx_f = make_optimizer("rmsprop", opt.learning_rate)
+    f_state = tx_f.init(f_vars["params"])
+    f_step = jax.jit(make_fine_train_step(model, tx_f))
+    for i in range(steps_fine):
+        f_vars, f_state, m = f_step(f_vars, f_state,
+                                    crop_batch(i % n_items, i))
+        if i % log_every == 0 or i + 1 == steps_fine:
+            log("fine", i, steps_fine, float(m["loss"]))
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "ckpt")
+    # cast to f16 ON DEVICE before pulling: halves the bytes crossing the
+    # slow tunnel link (the pull is the expensive part of saving)
+    f16 = jax.tree.map(
+        lambda x: np.asarray(x.astype(jnp.float16))
+        if getattr(x, "dtype", None) == jnp.float32 else np.asarray(x),
+        f_vars)
+    ckpt.save_checkpoint(path, f16, opt,
+                         epoch=steps_nml + steps_coarse + steps_fine)
+    n_params = sum(x.size for x in jax.tree.leaves(f_vars))
+    print(f"saved {path} ({n_params / 1e6:.1f}M params, "
+          f"final fine loss {float(m['loss']):.4f}, "
+          f"total {time.time() - t_start:.0f}s)", flush=True)
+    return path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps-nml", type=int, default=300)
+    ap.add_argument("--steps-coarse", type=int, default=1200)
+    ap.add_argument("--steps-fine", type=int, default=1200)
+    ap.add_argument("--out", default=DEFAULT_OUT)
+    ap.add_argument("--dataroot", default=(
+        "/dev/shm/rgbd_flagship_data" if os.path.isdir("/dev/shm")
+        else "/tmp/rgbd_flagship_data"))
+    ap.add_argument("--log-every", type=int, default=50)
+    args = ap.parse_args()
+    train_flagship(args.dataroot, args.out, args.steps_nml,
+                   args.steps_coarse, args.steps_fine, args.log_every)
+
+
+if __name__ == "__main__":
+    main()

@@ -62,6 +62,7 @@ def _single_process_losses() -> list[float]:
     return losses
 
 
+@pytest.mark.slow
 def test_two_process_dp_matches_single_process(tmp_path):
     port = _free_port()
     out = tmp_path / "losses.npy"
