@@ -74,6 +74,29 @@ def make_capsule(height: float = 2.0, radius: float = 0.5, subdiv: int = 3):
     return v, f
 
 
+def bumpy_radius(directions: np.ndarray, radius: float = 1.0,
+                 amp: float = 0.08, omega: float = 25.0) -> np.ndarray:
+    """Analytic radial field of the 'bumpy' subject: for unit directions
+    ``d``, the surface radius is ``radius * (1 + amp * sin(w dx) sin(w dy)
+    sin(w dz))``.  Deterministic and closed-form, so tests can measure a
+    reconstruction's EXACT distance-to-surface along any direction."""
+    d = np.asarray(directions, np.float64)
+    s = np.sin(omega * d[..., 0]) * np.sin(omega * d[..., 1]) \
+        * np.sin(omega * d[..., 2])
+    return radius * (1.0 + amp * s)
+
+
+def make_bumpy_sphere(subdiv: int = 5, radius: float = 1.0,
+                      amp: float = 0.08, omega: float = 25.0):
+    """Icosphere displaced radially by ``bumpy_radius`` — surface detail at
+    a spatial frequency a half-resolution input image blurs away while the
+    full-resolution image still resolves it (the two-level architecture's
+    raison d'etre, exercised by tests/test_learning.py)."""
+    v, f = make_icosphere(subdiv, 1.0)
+    r = bumpy_radius(v, radius, amp, omega)
+    return v * r[:, None], f
+
+
 def normalize_mesh_height(verts: np.ndarray, target: float = 180.0):
     """Center and scale so the y-extent is ``target`` world units."""
     vmin, vmax = verts.min(axis=0), verts.max(axis=0)
@@ -402,6 +425,8 @@ def generate_synthetic_dataset(root: str, subjects=("sphere", "capsule"),
     for si, name in enumerate(subjects):
         if name == "sphere":
             v, f = make_icosphere(3, 1.0)
+        elif name == "bumpy":
+            v, f = make_bumpy_sphere()
         else:
             v, f = make_capsule(1.6, 0.55, 3)
         v = normalize_mesh_height(v, 180.0)

@@ -129,13 +129,18 @@ class VGG16Features(nn.Module):
         return VGG16Features.init_params(rng_key)
 
 
-def make_perceptual_loss(vgg_params, style_weight: float = 1e5):
+def make_perceptual_loss(vgg_params, style_weight: float = 1e5,
+                         feature_model=None):
     """(target, pred, style_image) -> scalar; parity with VGGLoss.forward.
 
     All images NHWC in [-1, 1] (the reference feeds normalized tensors
     straight in; no ImageNet renormalization — parity kept).
+
+    ``feature_model``: any flax module returning a list of feature taps
+    (default VGG16Features) — models/perceptual.CompactFeatures plugs the
+    framework-native backbone into the same loss shape.
     """
-    vgg = VGG16Features()
+    vgg = feature_model if feature_model is not None else VGG16Features()
 
     def loss(x, y, style_im):
         x_f = vgg.apply(vgg_params, x)

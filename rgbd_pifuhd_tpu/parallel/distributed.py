@@ -19,8 +19,13 @@ Design (idiomatic JAX multi-process):
 - IO (checkpoints, logs, montages) is gated on ``is_primary()``.
 
 Validated without real hosts: tests/test_multihost.py spawns two localhost
-processes x 4 virtual CPU devices (gloo collectives) and asserts the
-8-device global-mesh training losses match a single-process run.
+processes x 4 virtual CPU devices (gloo collectives) and asserts that BOTH
+a toy linear model AND the real tiny MultiResPIFu — through the same
+make_fine_train_step + shard_train_step the drivers jit, with BatchNorm
+batch_stats, frozen-netG stop_gradients and multi-collection variables
+crossing processes — reproduce the single-process losses on the 8-device
+global mesh, and that a grid query whose point axis spans processes
+reproduces the single-process volume.
 """
 
 from __future__ import annotations

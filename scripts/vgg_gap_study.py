@@ -58,15 +58,30 @@ def run(steps: int = 300, size: int = 64) -> dict:
             "style": jnp.asarray(it["Fstyle"])[None],
         }
 
+    from rgbd_pifuhd_tpu.models.perceptual import (
+        CompactFeatures, find_backbone, load_backbone)
+
+    arms = [("l1_only", None), ("random_vgg", "random")]
+    bpath = find_backbone()
+    if bpath:
+        arms.append(("native_backbone", "native"))
+
     results = {}
-    for label, use_perc in (("l1_only", False), ("random_vgg", True)):
+    for label, perc_kind in arms:
         gen = GlobalGenerator(output_nc=3, ngf=16, n_downsampling=2,
                               n_blocks=2)
         params = gen.init(jax.random.PRNGKey(0), batch_of(0)["images"])
         perceptual = None
-        if use_perc:
+        if perc_kind == "random":
             vgg_params = VGG16Features.init_params(0)
             perceptual = make_perceptual_loss(vgg_params)
+        elif perc_kind == "native":
+            # trained compact backbone, content-dominant weighting (the
+            # 1e5 style weight is VGG-Gram-scale specific; measured best
+            # for the native features)
+            perceptual = make_perceptual_loss(
+                load_backbone(bpath), style_weight=1e2,
+                feature_model=CompactFeatures())
         tx = make_optimizer("adam", 2e-4)
         opt_state = tx.init(params)
         step = jax.jit(make_normal_train_step(
@@ -86,6 +101,10 @@ def run(steps: int = 300, size: int = 64) -> dict:
     results["relative_gap_pct"] = round(
         100.0 * (results["random_vgg"] - results["l1_only"])
         / max(results["l1_only"], 1e-9), 1)
+    if "native_backbone" in results:
+        results["native_vs_l1_pct"] = round(
+            100.0 * (results["native_backbone"] - results["l1_only"])
+            / max(results["l1_only"], 1e-9), 1)
     print(results)
     return results
 

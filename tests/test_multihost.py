@@ -64,8 +64,15 @@ def _single_process_losses() -> list[float]:
 
 @pytest.mark.slow
 def test_two_process_dp_matches_single_process(tmp_path):
+    """Two gloo-joined processes x 4 virtual CPU devices train (a) a toy
+    linear model and (b) the REAL tiny MultiResPIFu through the same
+    make_fine_train_step + shard_train_step the single-host drivers jit
+    (BatchNorm batch_stats, frozen-netG stop_gradients, multi-collection
+    variables all crossing processes), then run one grid query whose
+    point axis spans processes.  All three must reproduce this process's
+    own single-process 8-device run."""
     port = _free_port()
-    out = tmp_path / "losses.npy"
+    out = tmp_path / "results.npz"
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -81,7 +88,7 @@ def test_two_process_dp_matches_single_process(tmp_path):
     outputs = []
     for p in procs:
         try:
-            stdout, _ = p.communicate(timeout=420)
+            stdout, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -89,14 +96,32 @@ def test_two_process_dp_matches_single_process(tmp_path):
         outputs.append(stdout)
     for p, text in zip(procs, outputs):
         assert p.returncode == 0, f"child failed:\n{text}"
-    assert out.exists(), f"primary wrote no losses:\n{outputs[0]}"
+    assert out.exists(), f"primary wrote no results:\n{outputs[0]}"
 
     multi = np.load(out)
     single = np.asarray(_single_process_losses())
     # training must make net progress (deterministic with this seed) and
     # match the single-process run (cross-process psum == in-process psum)
-    assert multi[-1] < multi[0]
-    np.testing.assert_allclose(multi, single, rtol=1e-5, atol=1e-6)
+    assert multi["linear"][-1] < multi["linear"][0]
+    np.testing.assert_allclose(multi["linear"], single, rtol=1e-5,
+                               atol=1e-6)
+
+    # the REAL model: same losses as this process's single-process run
+    from tests.multihost_child import (
+        build_model_and_batch, run_model_steps, run_sharded_grid_query)
+
+    mesh = make_device_mesh()
+    model, batch = build_model_and_batch()
+    ref_losses, ref_vars = run_model_steps(model, batch, mesh,
+                                           lambda b: b)
+    assert multi["model"][-1] < multi["model"][0] * 1.001, multi["model"]
+    np.testing.assert_allclose(multi["model"], np.asarray(ref_losses),
+                               rtol=1e-4, atol=1e-6)
+
+    # the sharded grid query: identical volume across the process split
+    ref_vol = run_sharded_grid_query(model, ref_vars, batch, mesh)
+    np.testing.assert_allclose(multi["vol"], ref_vol, rtol=1e-4,
+                               atol=1e-5)
 
 
 def test_shard_host_batch_single_process_noop():
