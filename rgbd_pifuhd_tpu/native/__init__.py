@@ -71,6 +71,7 @@ def load_marching():
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # X Y Z
                 ctypes.c_float,                    # thresh
                 ctypes.POINTER(ctypes.c_int8),     # case table
+                ctypes.c_int,                      # mc_cols (0 = tets)
                 ctypes.c_int,                      # n_threads
             ] + out_args
             lib.mt_run_cells.restype = ctypes.c_int
@@ -79,6 +80,7 @@ def load_marching():
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_float,
                 ctypes.POINTER(ctypes.c_int8),
+                ctypes.c_int,                      # mc_cols (0 = tets)
                 ctypes.c_int,
                 ctypes.POINTER(ctypes.c_int32),   # cells [K, 3]
                 ctypes.c_int64,                    # n_cells
@@ -97,6 +99,7 @@ def load_marching():
                 ctypes.c_float,                    # band_scale
                 ctypes.c_float,                    # thresh
                 ctypes.POINTER(ctypes.c_int8),    # case table
+                ctypes.c_int,                      # mc_cols (0 = tets)
                 ctypes.c_int,                      # n_threads
                 ctypes.POINTER(ctypes.c_int32),   # scan cells [K', 3]
                 ctypes.c_int64,                    # n_cells
@@ -117,6 +120,7 @@ def load_marching():
                 ctypes.c_float,                    # band_scale
                 ctypes.c_float,                    # thresh
                 ctypes.POINTER(ctypes.c_int8),    # case table
+                ctypes.c_int,                      # mc_cols (0 = tets)
                 ctypes.c_int,                      # n_threads
                 ctypes.POINTER(ctypes.c_int32),   # scan cells [K', 3]
                 ctypes.c_int64,                    # n_cells
@@ -139,6 +143,7 @@ def load_marching():
                 ctypes.c_float,                    # band_scale
                 ctypes.c_float,                    # thresh
                 ctypes.POINTER(ctypes.c_int8),    # case table
+                ctypes.c_int,                      # mc_cols (0 = tets)
                 ctypes.c_int,                      # n_threads
             ]
             lib.mt3_step.restype = ctypes.c_int

@@ -87,6 +87,10 @@ const int kCorner[8][3] = {
     {0, 0, 0}, {1, 0, 0}, {1, 1, 0}, {0, 1, 0},
     {0, 0, 1}, {1, 0, 1}, {1, 1, 1}, {0, 1, 1},
 };
+// cube edges for the marching-cubes table (recon/marching.py _MC_EDGES)
+const int kMCEdges[12][2] = {{0, 1}, {1, 2}, {2, 3}, {3, 0},
+                             {4, 5}, {5, 6}, {6, 7}, {7, 4},
+                             {0, 4}, {1, 5}, {2, 6}, {3, 7}};
 
 // Scalar-field views: each exposes value3(x, y, z) + the lattice shape so
 // process_cube is written once and instantiated per storage layout.
@@ -176,11 +180,15 @@ struct ScratchField {
   }
 };
 
-// process one cube at (x, y, z): emit triangles into `out`, dedup via `map`
+// process one cube at (x, y, z): emit triangles into `out`, dedup via `map`.
+// mc_cols == 0: marching TETRAHEDRA (case_table [16, 6], tet-edge ids).
+// mc_cols  > 0: marching CUBES (case_table [256, mc_cols], cube-edge ids —
+//               recon/marching.py _mc_table_packed, watertight by
+//               construction; ~3x fewer verts/tris than tetrahedra).
 template <typename Field>
 static inline void process_cube(
     const Field& fld, float thresh,
-    const int8_t* case_table, int64_t x, int64_t y, int64_t z,
+    const int8_t* case_table, int mc_cols, int64_t x, int64_t y, int64_t z,
     ThreadOut& out, EdgeMap& map) {
   const int64_t YZ = fld.YZ, Y = fld.Y, Z = fld.Z;
   const int64_t base = x * YZ + y * Z + z;
@@ -211,7 +219,53 @@ static inline void process_cube(
   }
   if (sum == 0 || sum == 8) return;
 
-  for (int tet = 0; tet < 6; ++tet) {
+  // shared vertex emission: global-lattice-edge dedup + interpolation
+  auto edge_vert = [&](int la, int lb) -> int32_t {
+    if (ids[la] > ids[lb]) { int tmp = la; la = lb; lb = tmp; }
+    const int64_t a = ids[la], b = ids[lb];
+    const uint64_t key = ((uint64_t)a << 32) | (uint64_t)(uint32_t)b;
+    int32_t found = map.find(key);
+    if (found < 0) {
+      const float va = vals[la];
+      const float vb = vals[lb];
+      float tt = (vb - va) != 0.f ? (thresh - va) / (vb - va) : 0.5f;
+      if (tt < 0.f) tt = 0.f;
+      if (tt > 1.f) tt = 1.f;
+      const float ax_ = (float)(a / YZ), ay_ = (float)((a / Z) % Y),
+                  az_ = (float)(a % Z);
+      const float bx_ = (float)(b / YZ), by_ = (float)((b / Z) % Y),
+                  bz_ = (float)(b % Z);
+      Vec3 v{ax_ + tt * (bx_ - ax_), ay_ + tt * (by_ - ay_),
+             az_ + tt * (bz_ - az_)};
+      out.verts.push_back(v);
+      out.vert_keys.push_back(key);
+      found = (int32_t)(out.verts.size() - 1);
+      map.put(key, found);
+    }
+    return found;
+  };
+  auto emit = [&](int32_t v0, int32_t v1, int32_t v2) {
+    if (v0 != v1 && v1 != v2 && v0 != v2) {
+      out.faces.push_back(v0);
+      out.faces.push_back(v1);
+      out.faces.push_back(v2);
+    }
+  };
+
+  if (mc_cols > 0) {  // marching cubes
+    int c = 0;
+    for (int i = 0; i < 8; ++i) c |= ins[i] ? (1 << i) : 0;
+    const int8_t* row = case_table + (int64_t)c * mc_cols;
+    for (int k = 0; k + 2 < mc_cols && row[k] >= 0; k += 3) {
+      const int e0 = row[k], e1 = row[k + 1], e2 = row[k + 2];
+      emit(edge_vert(kMCEdges[e0][0], kMCEdges[e0][1]),
+           edge_vert(kMCEdges[e1][0], kMCEdges[e1][1]),
+           edge_vert(kMCEdges[e2][0], kMCEdges[e2][1]));
+    }
+    return;
+  }
+
+  for (int tet = 0; tet < 6; ++tet) {  // marching tetrahedra
     const int* tv = kTets[tet];
     const int c = (ins[tv[0]] ? 1 : 0) | (ins[tv[1]] ? 2 : 0) |
                   (ins[tv[2]] ? 4 : 0) | (ins[tv[3]] ? 8 : 0);
@@ -222,36 +276,9 @@ static inline void process_cube(
       int32_t vid[3];
       for (int k = 0; k < 3; ++k) {
         const int e = row[tri * 3 + k];
-        int la = tv[kTetEdges[e][0]];
-        int lb = tv[kTetEdges[e][1]];
-        if (ids[la] > ids[lb]) { int tmp = la; la = lb; lb = tmp; }
-        const int64_t a = ids[la], b = ids[lb];
-        const uint64_t key = ((uint64_t)a << 32) | (uint64_t)(uint32_t)b;
-        int32_t found = map.find(key);
-        if (found < 0) {
-          const float va = vals[la];
-          const float vb = vals[lb];
-          float tt = (vb - va) != 0.f ? (thresh - va) / (vb - va) : 0.5f;
-          if (tt < 0.f) tt = 0.f;
-          if (tt > 1.f) tt = 1.f;
-          const float ax_ = (float)(a / YZ), ay_ = (float)((a / Z) % Y),
-                      az_ = (float)(a % Z);
-          const float bx_ = (float)(b / YZ), by_ = (float)((b / Z) % Y),
-                      bz_ = (float)(b % Z);
-          Vec3 v{ax_ + tt * (bx_ - ax_), ay_ + tt * (by_ - ay_),
-                 az_ + tt * (bz_ - az_)};
-          out.verts.push_back(v);
-          out.vert_keys.push_back(key);
-          found = (int32_t)(out.verts.size() - 1);
-          map.put(key, found);
-        }
-        vid[k] = found;
+        vid[k] = edge_vert(tv[kTetEdges[e][0]], tv[kTetEdges[e][1]]);
       }
-      if (vid[0] != vid[1] && vid[1] != vid[2] && vid[0] != vid[2]) {
-        out.faces.push_back(vid[0]);
-        out.faces.push_back(vid[1]);
-        out.faces.push_back(vid[2]);
-      }
+      emit(vid[0], vid[1], vid[2]);
     }
   }
 }
@@ -311,7 +338,8 @@ static void merge_outputs(std::vector<ThreadOut>& outs,
 template <typename Field>
 static void scan_cells_into(const Field& fld, int64_t res, int factor,
                             float thresh, const int8_t* case_table,
-                            int n_threads, const int32_t* cells,
+                            int mc_cols, int n_threads,
+                            const int32_t* cells,
                             int64_t n_cells, unsigned char* vis,
                             std::vector<ThreadOut>& outs) {
   const int64_t ncx = res - 1, ncy = res - 1, ncz = res - 1;
@@ -370,7 +398,8 @@ static void scan_cells_into(const Field& fld, int64_t res, int factor,
                                        __ATOMIC_RELAXED);
             }
             if (prev & bit) continue;
-            process_cube(sf, thresh, case_table, x, y, z, out, map);
+            process_cube(sf, thresh, case_table, mc_cols, x, y, z, out,
+                         map);
           }
     }
   };
@@ -383,15 +412,16 @@ static void scan_cells_into(const Field& fld, int64_t res, int factor,
 template <typename Field>
 static void run_masked_scan(const Field& fld, int64_t res, int factor,
                             float thresh, const int8_t* case_table,
-                            int n_threads, const int32_t* cells,
+                            int mc_cols, int n_threads,
+                            const int32_t* cells,
                             int64_t n_cells, float** verts_out,
                             int64_t* n_verts, int32_t** faces_out,
                             int64_t* n_faces) {
   const int64_t n_cubes = (res - 1) * (res - 1) * (res - 1);
   std::vector<unsigned char> visited((n_cubes + 7) / 8, 0);
   std::vector<ThreadOut> outs(n_threads);
-  scan_cells_into(fld, res, factor, thresh, case_table, n_threads, cells,
-                  n_cells, visited.data(), outs);
+  scan_cells_into(fld, res, factor, thresh, case_table, mc_cols, n_threads,
+                  cells, n_cells, visited.data(), outs);
   merge_outputs(outs, verts_out, n_verts, faces_out, n_faces);
 }
 
@@ -480,6 +510,7 @@ struct MT3Session {
   int factor;
   float thresh;
   std::vector<int8_t> case_table;
+  int mc_cols;
   int n_threads;
   std::vector<unsigned char> visited;
   EdgeMap gmap{1 << 15};
@@ -493,7 +524,7 @@ extern "C" {
 // case_table: int8[16*6]; triangle edge ids, -1 padded (2 tris max/case).
 // Returns 0 on success.  Caller frees *verts_out / *faces_out with mt_free.
 int mt_run(const float* vol, int64_t X, int64_t Y, int64_t Z, float thresh,
-           const int8_t* case_table, int n_threads,
+           const int8_t* case_table, int mc_cols, int n_threads,
            float** verts_out, int64_t* n_verts, int32_t** faces_out,
            int64_t* n_faces) {
   const int64_t YZ = Y * Z;
@@ -517,7 +548,8 @@ int mt_run(const float* vol, int64_t X, int64_t Y, int64_t Z, float thresh,
     for (int64_t x = x0; x < x1; ++x)
       for (int64_t y = 0; y < Y - 1; ++y)
         for (int64_t z = 0; z < Z - 1; ++z)
-          process_cube(fld, thresh, case_table, x, y, z, out, map);
+          process_cube(fld, thresh, case_table, mc_cols, x, y, z, out,
+                       map);
   };
 
   for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker, t);
@@ -533,7 +565,8 @@ int mt_run(const float* vol, int64_t X, int64_t Y, int64_t Z, float thresh,
 // caught.  A shared visited bitmap (atomic fetch-or) prevents duplicate
 // cube emission when overlapping ranges collide across cells/threads.
 int mt_run_cells(const float* vol, int64_t X, int64_t Y, int64_t Z,
-                 float thresh, const int8_t* case_table, int n_threads,
+                 float thresh, const int8_t* case_table, int mc_cols,
+                 int n_threads,
                  const int32_t* cells, int64_t n_cells, int factor,
                  float** verts_out, int64_t* n_verts, int32_t** faces_out,
                  int64_t* n_faces) {
@@ -576,7 +609,8 @@ int mt_run_cells(const float* vol, int64_t X, int64_t Y, int64_t Z,
             const unsigned char prev =
                 __atomic_fetch_or(&vis[cid >> 3], bit, __ATOMIC_RELAXED);
             if (prev & bit) continue;  // already claimed
-            process_cube(fld, thresh, case_table, x, y, z, out, map);
+            process_cube(fld, thresh, case_table, mc_cols, x, y, z, out,
+                       map);
           }
     }
   };
@@ -603,7 +637,7 @@ int mt_run_sparse(const uint8_t* corner_q, const int32_t* top_idx,
                   int64_t K, const uint8_t* refined,
                   int64_t n, int factor, int64_t res,
                   int pack_bits, float band_scale, float thresh,
-                  const int8_t* case_table, int n_threads,
+                  const int8_t* case_table, int mc_cols, int n_threads,
                   const int32_t* cells, int64_t n_cells,
                   float** verts_out, int64_t* n_verts, int32_t** faces_out,
                   int64_t* n_faces) {
@@ -658,8 +692,9 @@ int mt_run_sparse(const uint8_t* corner_q, const int32_t* top_idx,
       fshift, (int64_t)factor - 1,
       (int64_t)factor, f3, f3 / per_byte, per_byte == 2};
 
-  run_masked_scan(fld, res, factor, thresh, case_table, n_threads, cells,
-                  n_cells, verts_out, n_verts, faces_out, n_faces);
+  run_masked_scan(fld, res, factor, thresh, case_table, mc_cols,
+                  n_threads, cells, n_cells, verts_out, n_verts,
+                  faces_out, n_faces);
   return 0;
 }
 
@@ -672,7 +707,7 @@ int mt_run_sparse3(const uint8_t* corner_q, const int32_t* top8_idx,
                    const uint8_t* refined,
                    int64_t n, int factor, int64_t res,
                    int pack_bits, float band_scale, float thresh,
-                   const int8_t* case_table, int n_threads,
+                   const int8_t* case_table, int mc_cols, int n_threads,
                    const int32_t* cells, int64_t n_cells,
                    float** verts_out, int64_t* n_verts, int32_t** faces_out,
                    int64_t* n_faces) {
@@ -693,8 +728,9 @@ int mt_run_sparse3(const uint8_t* corner_q, const int32_t* top8_idx,
       d.fill4.data(), d.lut.data(), n, res, res, res * res,
       (int64_t)(64 / per_byte), per_byte == 2};
 
-  run_masked_scan(fld, res, factor, thresh, case_table, n_threads, cells,
-                  n_cells, verts_out, n_verts, faces_out, n_faces);
+  run_masked_scan(fld, res, factor, thresh, case_table, mc_cols,
+                  n_threads, cells, n_cells, verts_out, n_verts,
+                  faces_out, n_faces);
   return 0;
 }
 
@@ -709,7 +745,7 @@ void* mt3_begin(const uint8_t* corner_q, const int32_t* top8_idx,
                 int64_t K1, const uint8_t* sub_q, const int32_t* top4_idx,
                 int64_t K2, const uint8_t* refined, int64_t n, int factor,
                 int64_t res, int pack_bits, float band_scale, float thresh,
-                const int8_t* case_table, int n_threads) {
+                const int8_t* case_table, int mc_cols, int n_threads) {
   if (factor != 8) return nullptr;
   if (n_threads <= 0) {
     n_threads = (int)std::thread::hardware_concurrency();
@@ -727,7 +763,9 @@ void* mt3_begin(const uint8_t* corner_q, const int32_t* top8_idx,
   s->res = res;
   s->factor = factor;
   s->thresh = thresh;
-  s->case_table.assign(case_table, case_table + 16 * 6);
+  const size_t tbl = mc_cols > 0 ? (size_t)256 * mc_cols : (size_t)16 * 6;
+  s->case_table.assign(case_table, case_table + tbl);
+  s->mc_cols = mc_cols;
   s->n_threads = n_threads;
   const int64_t n_cubes = (res - 1) * (res - 1) * (res - 1);
   s->visited.assign((n_cubes + 7) / 8, 0);
@@ -743,7 +781,7 @@ int mt3_step(void* sess, const int32_t* cells, int64_t n_cells,
   if ((int64_t)nt > n_cells) nt = (int)(n_cells > 0 ? n_cells : 1);
   std::vector<ThreadOut> outs(nt);
   scan_cells_into(s->fld, s->res, s->factor, s->thresh,
-                  s->case_table.data(), nt, cells, n_cells,
+                  s->case_table.data(), s->mc_cols, nt, cells, n_cells,
                   s->visited.data(), outs);
   // merge this step's thread outputs through the SESSION-global edge map:
   // verts already seen in an earlier step (shared slab-boundary edges)

@@ -122,9 +122,263 @@ def _case_table_packed() -> np.ndarray:
     return packed
 
 
+# ---------------------------------------------------------------------------
+# Marching CUBES (the reference's own algorithm family, mesh_util.py:84 via
+# skimage): ~2x fewer vertices/triangles than tetrahedra for the same
+# surface, which halves everything downstream (dedup, coloring, IO).
+#
+# The 256-case table is DERIVED at import time — like the tet table above,
+# no magic constants — with a FIXED per-face disambiguation rule: on an
+# ambiguous face (two diagonally-opposite inside corners) the cut edges
+# always pair so the two inside corners are enclosed SEPARATELY.  Because
+# the rule depends only on the face's four corner states, the two cubes
+# sharing any face derive the SAME polyline across it, so the mesh is
+# watertight by construction (classic Lorensen-Cline tables are not; the
+# Lewiner/MC33 machinery exists to fix that — this rule is the simpler
+# consistent choice, trading exact trilinear topology in ambiguous
+# interiors for guaranteed crack-freeness).
+
+# cube edges (corner-index pairs, canonical order shared with the C++ kernel)
+_MC_EDGES = np.array(
+    [[0, 1], [1, 2], [2, 3], [3, 0], [4, 5], [5, 6], [6, 7], [7, 4],
+     [0, 4], [1, 5], [2, 6], [3, 7]], dtype=np.int64)
+
+# faces as cyclic corner walks (consecutive entries are cube edges)
+_MC_FACES = ((0, 1, 2, 3), (4, 5, 6, 7), (0, 1, 5, 4),
+             (3, 2, 6, 7), (0, 3, 7, 4), (1, 2, 6, 5))
+
+
+def _derive_mc_table() -> list[list[list[int]]]:
+    """[256] list of LOOPS (each an oriented cyclic list of cube-edge ids).
+
+    Loops — not pre-triangulated triangles — because triangulation choice
+    matters for watertightness: a fan chord between two cut edges of the
+    same face lies IN that face's plane, and the neighboring cube fans
+    differently (measured: 1-2 boundary edges per ~1800 faces on random
+    fields).  Consumers triangulate a 3-loop directly and longer loops
+    through the loop CENTROID (an interior point), so every generated
+    edge is either a prescribed face-crossing segment (shared exactly
+    with the neighbor) or strictly cube-interior — watertight by
+    construction.
+    """
+    edge_of = {tuple(sorted(e)): i for i, e in enumerate(_MC_EDGES.tolist())}
+    adj = {i: [] for i in range(8)}
+    for a, b in _MC_EDGES.tolist():
+        adj[a].append(b)
+        adj[b].append(a)
+    pos = _CORNERS.astype(np.float64)
+
+    table: list[list[list[int]]] = []
+    for mask in range(256):
+        inset = {i for i in range(8) if mask >> i & 1}
+        # connected components of inside corners (cube-edge adjacency)
+        comps, seen = [], set()
+        for c in sorted(inset):
+            if c in seen:
+                continue
+            comp, stack = set(), [c]
+            while stack:
+                u = stack.pop()
+                if u in comp:
+                    continue
+                comp.add(u)
+                stack += [v for v in adj[u] if v in inset and v not in comp]
+            seen |= comp
+            comps.append(comp)
+
+        loops_out: list[list[int]] = []
+        for comp in comps:
+            cut = [i for i, (a, b) in enumerate(_MC_EDGES.tolist())
+                   if (a in comp) != (b in comp)]
+            cutset = set(cut)
+            # pair cut edges per face: the two delimiters of each maximal
+            # cyclic run of comp-corners pair up (diagonal corners on an
+            # ambiguous face form two runs -> enclosed separately)
+            pair: dict[int, list[int]] = {e: [] for e in cut}
+            for f in _MC_FACES:
+                states = [f[k] in comp for k in range(4)]
+                if not any(states) or all(states):
+                    continue
+                for k in range(4):
+                    if states[k] and not states[k - 1]:  # run starts at k
+                        m = k
+                        while states[(m + 1) % 4]:
+                            m = (m + 1) % 4
+                        e1 = edge_of[tuple(sorted((f[k - 1], f[k])))]
+                        e2 = edge_of[tuple(sorted((f[m], f[(m + 1) % 4])))]
+                        if e1 in cutset and e2 in cutset:
+                            pair[e1].append(e2)
+                            pair[e2].append(e1)
+            # traverse closed loops (each cut edge has exactly 2 partners)
+            visited: set[int] = set()
+            for e0 in cut:
+                if e0 in visited:
+                    continue
+                loop = [e0]
+                visited.add(e0)
+                prev, cur = None, e0
+                while True:
+                    nxt = next(x for x in pair[cur] if x != prev)
+                    if nxt == e0:
+                        break
+                    loop.append(nxt)
+                    visited.add(nxt)
+                    prev, cur = cur, nxt
+                # orient: Newell normal must point from inside to outside
+                mids = np.array([(pos[_MC_EDGES[e][0]]
+                                  + pos[_MC_EDGES[e][1]]) / 2 for e in loop])
+                nrm = np.zeros(3)
+                for i in range(len(mids)):
+                    a, b = mids[i], mids[(i + 1) % len(mids)]
+                    nrm += np.cross(a, b)
+                ins_pts = np.array([
+                    pos[a] if a in comp else pos[b]
+                    for e in loop for a, b in [_MC_EDGES[e].tolist()]])
+                out_pts = np.array([
+                    pos[b] if a in comp else pos[a]
+                    for e in loop for a, b in [_MC_EDGES[e].tolist()]])
+                if np.dot(nrm, out_pts.mean(0) - ins_pts.mean(0)) < 0:
+                    loop.reverse()
+                loops_out.append(loop)
+        table.append(_triangulate_loops(loops_out))
+    return table
+
+
+# face sets per cube edge (chord-safety test: a chord between two cut
+# edges sharing a cube face lies IN that face's plane)
+_FACES_OF_EDGE = None
+
+
+def _faces_of_edge():
+    global _FACES_OF_EDGE
+    if _FACES_OF_EDGE is None:
+        edge_of = {tuple(sorted(e)): i
+                   for i, e in enumerate(_MC_EDGES.tolist())}
+        foe = [set() for _ in range(12)]
+        for fi, f in enumerate(_MC_FACES):
+            for k in range(4):
+                foe[edge_of[tuple(sorted((f[k], f[(k + 1) % 4])))]].add(fi)
+        _FACES_OF_EDGE = foe
+    return _FACES_OF_EDGE
+
+
+def _triangulate_loops(loops: list[list[int]]) -> list[list[int]]:
+    """Split each loop into 3-loops (triangles) when a fan whose chords
+    are all strictly cube-interior exists; otherwise keep the full loop
+    for centroid triangulation at consume time."""
+    foe = _faces_of_edge()
+    out: list[list[int]] = []
+    for loop in loops:
+        L = len(loop)
+        if L == 3:
+            out.append(loop)
+            continue
+        fanned = False
+        for k in range(L):
+            rot = loop[k:] + loop[:k]
+            chords = [(rot[0], rot[j]) for j in range(2, L - 1)]
+            if all(not (foe[a] & foe[b]) for a, b in chords):
+                out += [[rot[0], rot[j], rot[j + 1]]
+                        for j in range(1, L - 1)]
+                fanned = True
+                break
+        if not fanned:
+            out.append(loop)
+    return out
+
+
+_MC_CASE_TABLE = _derive_mc_table()
+# Every derived loop fans into interior-chord triangles (verified at
+# import below), so the packed form is flat triangle triples like the
+# tet table — the C++ kernel consumes both through one code path.
+assert all(len(l) == 3 for loops in _MC_CASE_TABLE for l in loops), \
+    "MC derivation produced a non-fannable loop; update the packing"
+_MC_COLS = max(len(loops) for loops in _MC_CASE_TABLE) * 3
+
+
+def _mc_table_packed() -> np.ndarray:
+    """[256, _MC_COLS] int8 triangle edge-id triples, -1 padded — shared
+    with the C++ kernel."""
+    packed = -np.ones((256, _MC_COLS), dtype=np.int8)
+    for c, loops in enumerate(_MC_CASE_TABLE):
+        row = [e for loop in loops for e in loop]
+        packed[c, : len(row)] = row
+    return packed
+
+
+def _packed_table(algorithm: str):
+    """(packed case table, mc_cols) for the C++ kernel: mc_cols == 0
+    selects marching tetrahedra, > 0 the marching-cubes table width."""
+    if algorithm == "mc":
+        t = np.ascontiguousarray(_mc_table_packed())
+        return t, int(t.shape[1])
+    t = np.ascontiguousarray(_case_table_packed())
+    return t, 0
+
+
+def marching_cubes_numpy(volume: np.ndarray, threshold: float = 0.5):
+    """Reference (slow, loop-per-cube) marching-cubes over a dense volume
+    using the derived table — the correctness oracle for the C++ kernel
+    and the small-volume fallback.  Same output contract as
+    ``marching_tetrahedra`` (index-space verts, int32 faces)."""
+    X, Y, Z = volume.shape
+    verts: list = []
+    vmap: dict = {}
+    faces: list = []
+    offs = _MC_EDGES
+
+    def edge_vert(x, y, z, e):
+        a, b = offs[e]
+        pa = (x + _CORNERS[a][0], y + _CORNERS[a][1], z + _CORNERS[a][2])
+        pb = (x + _CORNERS[b][0], y + _CORNERS[b][1], z + _CORNERS[b][2])
+        key = (pa, pb) if pa <= pb else (pb, pa)
+        if key not in vmap:
+            # interpolate from the CANONICAL (sorted) pair so both cubes
+            # sharing the lattice edge produce the identical position
+            p = np.asarray(key[0], np.float64)
+            q = np.asarray(key[1], np.float64)
+            va = volume[key[0]]
+            vb = volume[key[1]]
+            t = 0.5 if vb == va else (threshold - va) / (vb - va)
+            t = min(max(t, 0.0), 1.0)
+            vmap[key] = len(verts)
+            verts.append(p + t * (q - p))
+        return vmap[key]
+
+    for x in range(X - 1):
+        for y in range(Y - 1):
+            for z in range(Z - 1):
+                c = np.array([volume[x + dx, y + dy, z + dz]
+                              for dx, dy, dz in _CORNERS])
+                ins = c > threshold
+                mask = int((ins << np.arange(8)).sum())
+                if mask in (0, 255):
+                    continue
+                for loop in _MC_CASE_TABLE[mask]:
+                    vid = [edge_vert(x, y, z, e) for e in loop]
+                    if len(loop) == 3:
+                        if vid[0] != vid[1] != vid[2] != vid[0]:
+                            faces.append(vid)
+                        continue
+                    # centroid triangulation: every generated chord is
+                    # strictly cube-interior (watertightness — see
+                    # _derive_mc_table)
+                    ctr = len(verts)
+                    verts.append(np.mean([verts[i] for i in vid], axis=0))
+                    L = len(vid)
+                    for i in range(L):
+                        a, b = vid[i], vid[(i + 1) % L]
+                        if a != b:
+                            faces.append([ctr, a, b])
+    if not verts:
+        return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+    return (np.asarray(verts, np.float32),
+            np.asarray(faces, np.int32))
+
+
 def marching_tetrahedra_cells(
     volume: np.ndarray, cell_origins: np.ndarray, factor: int = 8,
-    threshold: float = 0.5,
+    threshold: float = 0.5, algorithm: str = "mt",
 ):
     """Masked extraction: only cubes inside (or one cube before) the given
     cells are scanned — the companion of the sparse two-phase evaluator,
@@ -140,10 +394,11 @@ def marching_tetrahedra_cells(
 
     lib = load_marching()
     if lib is None:
-        return marching_tetrahedra(volume, threshold, use_native=False)
+        return marching_tetrahedra(volume, threshold, use_native=False,
+                                   algorithm=algorithm)
     vol = np.ascontiguousarray(volume, dtype=np.float32)
     cells = np.ascontiguousarray(cell_origins, dtype=np.int32)
-    table = np.ascontiguousarray(_case_table_packed())
+    table, mc_cols = _packed_table(algorithm)
     vp = ctypes.POINTER(ctypes.c_float)()
     fp = ctypes.POINTER(ctypes.c_int32)()
     nv = ctypes.c_int64()
@@ -153,6 +408,7 @@ def marching_tetrahedra_cells(
         *[ctypes.c_int64(s) for s in vol.shape],
         ctypes.c_float(threshold),
         table.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        ctypes.c_int(mc_cols),
         0,
         cells.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         ctypes.c_int64(len(cells)),
@@ -160,7 +416,8 @@ def marching_tetrahedra_cells(
         ctypes.byref(vp), ctypes.byref(nv), ctypes.byref(fp), ctypes.byref(nf),
     )
     if rc != 0:
-        return marching_tetrahedra(volume, threshold, use_native=False)
+        return marching_tetrahedra(volume, threshold, use_native=False,
+                                   algorithm=algorithm)
     verts = np.ctypeslib.as_array(vp, shape=(nv.value, 3)).copy()
     faces = np.ctypeslib.as_array(fp, shape=(nf.value, 3)).copy()
     lib.mt_free(vp)
@@ -172,6 +429,7 @@ def marching_tetrahedra_sparse(
     corner_q: np.ndarray, top_idx: np.ndarray, refined: np.ndarray,
     cell_origins: np.ndarray, resolution: int, factor: int = 8,
     pack_bits: int = 4, band_scale: float = 4.0, threshold: float = 0.5,
+    algorithm: str = "mt",
 ):
     """Extract the surface DIRECTLY from the quantized sparse two-phase
     result — no dense volume is ever materialized (the reference's path
@@ -200,12 +458,13 @@ def marching_tetrahedra_sparse(
                                     factor=factor, pack_bits=pack_bits,
                                     band_scale=band_scale)
         return marching_tetrahedra_cells(vol, cell_origins, factor=factor,
-                                         threshold=threshold)
+                                         threshold=threshold,
+                                         algorithm=algorithm)
     corner_q = np.ascontiguousarray(corner_q, dtype=np.uint8).reshape(-1)
     top_idx = np.ascontiguousarray(top_idx, dtype=np.int32).reshape(-1)
     refined = np.ascontiguousarray(refined, dtype=np.uint8)
     cells = np.ascontiguousarray(cell_origins, dtype=np.int32)
-    table = np.ascontiguousarray(_case_table_packed())
+    table, mc_cols = _packed_table(algorithm)
     n = resolution // factor
     vp = ctypes.POINTER(ctypes.c_float)()
     fp = ctypes.POINTER(ctypes.c_int32)()
@@ -220,6 +479,7 @@ def marching_tetrahedra_sparse(
         ctypes.c_int(pack_bits), ctypes.c_float(band_scale),
         ctypes.c_float(threshold),
         table.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        ctypes.c_int(mc_cols),
         0,
         cells.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         ctypes.c_int64(len(cells)),
@@ -231,7 +491,8 @@ def marching_tetrahedra_sparse(
                                     factor=factor, pack_bits=pack_bits,
                                     band_scale=band_scale)
         return marching_tetrahedra_cells(vol, cell_origins, factor=factor,
-                                         threshold=threshold)
+                                         threshold=threshold,
+                                         algorithm=algorithm)
     verts = np.ctypeslib.as_array(vp, shape=(nv.value, 3)).copy()
     faces = np.ctypeslib.as_array(fp, shape=(nf.value, 3)).copy()
     lib.mt_free(vp)
@@ -244,6 +505,7 @@ def marching_tetrahedra_sparse3(
     top4_idx: np.ndarray, refined: np.ndarray, cell_origins: np.ndarray,
     resolution: int, factor: int = 8, pack_bits: int = 4,
     band_scale: float = 4.0, threshold: float = 0.5,
+    algorithm: str = "mt",
 ):
     """Surface extraction directly from the THREE-phase sparse result
     (grid.py eval_grid_three_phase_sparse): stride-8 fill -> stride-4 fill
@@ -261,14 +523,15 @@ def marching_tetrahedra_sparse3(
                                      pack_bits=pack_bits,
                                      band_scale=band_scale)
         return marching_tetrahedra_cells(vol, cell_origins, factor=factor,
-                                         threshold=threshold)
+                                         threshold=threshold,
+                                         algorithm=algorithm)
     corner_q = np.ascontiguousarray(corner_q, dtype=np.uint8).reshape(-1)
     top8_idx = np.ascontiguousarray(top8_idx, dtype=np.int32).reshape(-1)
     sub_q = np.ascontiguousarray(sub_q, dtype=np.uint8)
     top4_idx = np.ascontiguousarray(top4_idx, dtype=np.int32).reshape(-1)
     refined = np.ascontiguousarray(refined, dtype=np.uint8)
     cells = np.ascontiguousarray(cell_origins, dtype=np.int32)
-    table = np.ascontiguousarray(_case_table_packed())
+    table, mc_cols = _packed_table(algorithm)
     n = resolution // factor
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i32p = ctypes.POINTER(ctypes.c_int32)
@@ -286,6 +549,7 @@ def marching_tetrahedra_sparse3(
         ctypes.c_int(pack_bits), ctypes.c_float(band_scale),
         ctypes.c_float(threshold),
         table.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        ctypes.c_int(mc_cols),
         0,
         cells.ctypes.data_as(i32p), ctypes.c_int64(len(cells)),
         ctypes.byref(vp), ctypes.byref(nv), ctypes.byref(fp), ctypes.byref(nf),
@@ -297,7 +561,8 @@ def marching_tetrahedra_sparse3(
                                      pack_bits=pack_bits,
                                      band_scale=band_scale)
         return marching_tetrahedra_cells(vol, cell_origins, factor=factor,
-                                         threshold=threshold)
+                                         threshold=threshold,
+                                         algorithm=algorithm)
     verts = np.ctypeslib.as_array(vp, shape=(nv.value, 3)).copy()
     faces = np.ctypeslib.as_array(fp, shape=(nf.value, 3)).copy()
     lib.mt_free(vp)
@@ -329,7 +594,8 @@ class IncrementalMarcher3:
 
     def __init__(self, corner_q, top8_idx, sub_q, top4_idx, refined,
                  resolution: int, factor: int = 8, pack_bits: int = 4,
-                 band_scale: float = 4.0, threshold: float = 0.5):
+                 band_scale: float = 4.0, threshold: float = 0.5,
+                 algorithm: str = "mt"):
         from ..native import load_marching
         import ctypes
 
@@ -341,8 +607,9 @@ class IncrementalMarcher3:
             np.ascontiguousarray(sub_q, dtype=np.uint8),
             np.ascontiguousarray(top4_idx, dtype=np.int32).reshape(-1),
             np.ascontiguousarray(refined, dtype=np.uint8),
-            np.ascontiguousarray(_case_table_packed()),
+            _packed_table(algorithm)[0],
         )
+        mc_cols = _packed_table(algorithm)[1]
         cq, t8, sq, t4, rf, table = self._keep
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i32p = ctypes.POINTER(ctypes.c_int32)
@@ -356,7 +623,8 @@ class IncrementalMarcher3:
             ctypes.c_int64(n), ctypes.c_int(factor),
             ctypes.c_int64(resolution), ctypes.c_int(pack_bits),
             ctypes.c_float(band_scale), ctypes.c_float(threshold),
-            table.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), 0)
+            table.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            ctypes.c_int(mc_cols), 0)
         if not self._sess:
             raise RuntimeError("mt3_begin failed")
         self.total_verts = 0
@@ -402,7 +670,8 @@ class IncrementalMarcher3:
         self.close()
 
 
-def _marching_native(volume: np.ndarray, threshold: float):
+def _marching_native(volume: np.ndarray, threshold: float,
+                     algorithm: str = "mt"):
     """C++ kernel path; returns None if the native lib is unavailable."""
     from ..native import load_marching
     import ctypes
@@ -411,7 +680,7 @@ def _marching_native(volume: np.ndarray, threshold: float):
     if lib is None:
         return None
     vol = np.ascontiguousarray(volume, dtype=np.float32)
-    table = np.ascontiguousarray(_case_table_packed())
+    table, mc_cols = _packed_table(algorithm)
     vp = ctypes.POINTER(ctypes.c_float)()
     fp = ctypes.POINTER(ctypes.c_int32)()
     nv = ctypes.c_int64()
@@ -421,6 +690,7 @@ def _marching_native(volume: np.ndarray, threshold: float):
         *[ctypes.c_int64(s) for s in vol.shape],
         ctypes.c_float(threshold),
         table.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        ctypes.c_int(mc_cols),
         0,
         ctypes.byref(vp), ctypes.byref(nv), ctypes.byref(fp), ctypes.byref(nf),
     )
@@ -447,7 +717,7 @@ def _corner_ids(res: tuple[int, int, int], slab0: int, slab1: int):
 
 def marching_tetrahedra(
     volume: np.ndarray, threshold: float = 0.5, slab: int = 32,
-    use_native: bool = True,
+    use_native: bool = True, algorithm: str = "mt",
 ):
     """Extract the iso-surface of a 3D scalar field.
 
@@ -461,9 +731,12 @@ def marching_tetrahedra(
         (verts ``[V, 3]`` float32 in index space, faces ``[F, 3]`` int32).
     """
     if use_native:
-        out = _marching_native(volume, threshold)
+        out = _marching_native(volume, threshold, algorithm)
         if out is not None:
             return out
+    if algorithm == "mc":
+        # loop-per-cube reference implementation (small volumes only)
+        return marching_cubes_numpy(volume, threshold)
     X, Y, Z = volume.shape
     flat = volume.reshape(-1)
     inside_flat = flat > threshold

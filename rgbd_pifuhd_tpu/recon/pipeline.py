@@ -491,18 +491,26 @@ class Reconstructor:
         return corner, top_idx, refined, cells
 
     @staticmethod
-    def extract_mesh(field, resolution: int, thresh: float = 0.5):
-        """Host phase: sparse-direct marching tetrahedra (no densify).
-        Dispatches on the field arity (4 = two-phase, 6 = three-phase)."""
+    def extract_mesh(field, resolution: int, thresh: float = 0.5,
+                     algorithm: str = "mt"):
+        """Host phase: sparse-direct isosurface extraction (no densify).
+        Dispatches on the field arity (4 = two-phase, 6 = three-phase).
+        ``algorithm``: 'mc' = derived watertight marching cubes (~3x fewer
+        verts/tris, the reference's own algorithm family, mesh_util.py:84);
+        'mt' = marching tetrahedra.  Instance callers read
+        ``opt.marching_algo`` (default 'mc')."""
         if len(field) == 6:
             corner, top8, sub_q, top4, refined, cells = field
             return marching_tetrahedra_sparse3(
                 corner, top8, sub_q, top4, refined, cells, resolution,
-                factor=8, threshold=thresh)
+                factor=8, threshold=thresh, algorithm=algorithm)
         corner, top_idx, refined, cells = field
         return marching_tetrahedra_sparse(
             corner, top_idx, refined, cells, resolution, factor=8,
-            threshold=thresh)
+            threshold=thresh, algorithm=algorithm)
+
+    def _marching_algo(self) -> str:
+        return getattr(self.opt, "marching_algo", "mc")
 
     @staticmethod
     def _grid_to_world_mat(calib, res: int) -> np.ndarray:
@@ -556,11 +564,13 @@ class Reconstructor:
         if use_octree:
             # sparse-direct: quantized blocks -> mesh, never a dense volume
             field = self.evaluate_field(l_feats, g_feats, calib, res)
-            verts_idx, faces = self.extract_mesh(field, res, thresh)
+            verts_idx, faces = self.extract_mesh(
+                field, res, thresh, algorithm=self._marching_algo())
         else:
             vol, _ = self.occupancy_volume(l_feats, g_feats, calib, res,
                                            use_octree=False)
-            verts_idx, faces = marching_tetrahedra(vol, thresh)
+            verts_idx, faces = marching_tetrahedra(
+                vol, thresh, algorithm=self._marching_algo())
         if len(verts_idx) == 0:
             raise RuntimeError("marching cubes produced an empty mesh")
 
@@ -716,7 +726,8 @@ class Reconstructor:
         n_slabs = int(max(1, min(8, len(cells) // 512)))
         bounds = np.linspace(0, len(cells), n_slabs + 1).astype(int)
         with IncrementalMarcher3(corner, top8, sub_q, top4, refined,
-                                 res) as marcher:
+                                 res,
+                                 algorithm=self._marching_algo()) as marcher:
             for s in range(n_slabs):
                 vi, fc = marcher.step(cells[bounds[s]:bounds[s + 1]])
                 if len(fc):
@@ -969,11 +980,13 @@ class Reconstructor:
                 verts, faces, job = self._extract_and_color_overlap(
                     field, res, data["calib"], feats)
             else:
-                verts_idx, faces = self.extract_mesh(field, res)
+                verts_idx, faces = self.extract_mesh(
+                    field, res, algorithm=self._marching_algo())
         else:
             vol, _ = self.occupancy_volume(l_feats, g_feats, calib, res,
                                            use_octree=False)
-            verts_idx, faces = marching_tetrahedra(vol)
+            verts_idx, faces = marching_tetrahedra(
+                vol, algorithm=self._marching_algo())
         if job is None:
             if len(verts_idx) == 0:
                 puller.join()
@@ -1119,7 +1132,8 @@ class Reconstructor:
                         raise RuntimeError(
                             "marching produced an empty mesh")
                 else:
-                    verts_idx, faces = self.extract_mesh(field, res)
+                    verts_idx, faces = self.extract_mesh(
+                        field, res, algorithm=self._marching_algo())
                     if len(verts_idx) == 0:
                         raise RuntimeError(
                             "marching produced an empty mesh")

@@ -160,6 +160,11 @@ class Options:
     # geometric triangle normals on host — NO device color pass at all
     # (serving fast path: normals of the extracted surface instead of the
     # field's, visually equivalent at 512^3)
+    marching_algo: str = "mc"  # isosurface extractor: "mc" = derived
+    # watertight marching cubes (~3x fewer verts/tris; the reference's own
+    # algorithm family — skimage marching_cubes, mesh_util.py:84);
+    # "mt" = marching tetrahedra (exact trilinear-free topology, round 1-3
+    # default, kept for comparison)
 
     # Sampling
     num_sample_inout: int = 300
@@ -231,6 +236,7 @@ class Options:
             "load_size": self.load_size,
             "mesh_format": self.mesh_format,
             "normal_mode": self.normal_mode,
+            "marching_algo": self.marching_algo,
         }
         restored = Options.from_dict(d)
         for k, v in keep.items():
@@ -283,6 +289,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="two-phase refinement budget (cells of 8^3 voxels)")
     p.add_argument("--no_auto_escalate_budget", action="store_true",
                    help="disable budget doubling on refinement overflow")
+    p.add_argument("--marching_algo", type=str, default="mc",
+                   choices=("mc", "mt"),
+                   help="isosurface extractor: watertight marching cubes "
+                        "(~3x fewer verts/tris) or marching tetrahedra")
     p.add_argument("--normal_mode", type=str, default="fd",
                    choices=("fd", "grad", "mesh"),
                    help="vertex normals: 4-tap finite difference (reference"
@@ -393,6 +403,7 @@ def parse_options(argv: Sequence[str] | None = None) -> Options:
         num_refine_subcells=args.num_refine_subcells,
         auto_escalate_budget=not args.no_auto_escalate_budget,
         normal_mode=args.normal_mode,
+        marching_algo=args.marching_algo,
         mesh_format=args.mesh_format,
         num_sample_inout=args.num_sample_inout,
         sigma=args.sigma_max if args.sigma_max > 0 else args.sigma,

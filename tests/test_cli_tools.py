@@ -86,9 +86,10 @@ def test_bench_watchdog(tmp_path, monkeypatch, capsys):
         "open(m, 'w').close()\n"
         "time.sleep(60)\n")
     # generous deadline: on a loaded single-core sandbox the child python
-    # can take seconds just to start; it must have written the marker
+    # can take >10 s just to start (observed when a TPU training run and
+    # a CPU experiment shared the core); it must have written the marker
     # (its first statement) before the kill or the retry re-hangs
-    monkeypatch.setenv("BENCH_DEADLINE_S", "10")
+    monkeypatch.setenv("BENCH_DEADLINE_S", "20")
 
     with pytest.raises(SystemExit) as ei:
         bench._run_watchdog([sys.executable, str(stub)], retry_sleep=0.0)
