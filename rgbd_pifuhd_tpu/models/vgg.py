@@ -130,7 +130,7 @@ class VGG16Features(nn.Module):
 
 
 def make_perceptual_loss(vgg_params, style_weight: float = 1e5,
-                         feature_model=None):
+                         feature_model=None, weight: float = 1.0):
     """(target, pred, style_image) -> scalar; parity with VGGLoss.forward.
 
     All images NHWC in [-1, 1] (the reference feeds normalized tensors
@@ -139,6 +139,12 @@ def make_perceptual_loss(vgg_params, style_weight: float = 1e5,
     ``feature_model``: any flax module returning a list of feature taps
     (default VGG16Features) — models/perceptual.CompactFeatures plugs the
     framework-native backbone into the same loss shape.
+
+    ``weight`` scales the WHOLE perceptual term against the trainer's
+    fixed 5x L1 (make_normal_train_step).  The measured best for the
+    native backbone is 0.3 (scripts/vgg_gap_study.py sweep: final
+    normal-map L1 0.0101 vs 0.0117 L1-only at 600 steps); the VGG path
+    keeps 1.0 (reference weighting, pretrain_netG.py:159-197).
     """
     vgg = feature_model if feature_model is not None else VGG16Features()
 
@@ -153,6 +159,6 @@ def make_perceptual_loss(vgg_params, style_weight: float = 1e5,
             mse(gram_matrix(yf), gram_matrix(sf))
             for yf, sf in zip(y_f, s_f)
         )
-        return content + style_weight * style
+        return weight * (content + style_weight * style)
 
     return loss

@@ -250,12 +250,14 @@ def pretrain_normals(opt: Options, coarse_params=None,
     """Train netF and netB (pretrain_netG.train_nml parity).
 
     Returns coarse-model params with the trained netF/netB subtrees.
-    ``use_vgg``: "auto" (default) enables the VGG perceptual term only
-    when real pretrained weights are found locally — the measured cost of
-    the random-feature fallback is ~5x WORSE final normal-map L1 than
-    plain L1 training (scripts/vgg_gap_study.py: the 1e5-weighted style
-    loss on random Gram matrices injects noise).  True forces it on
-    (random features if no weights), False disables it.
+    ``use_vgg``: "auto" (default) picks the perceptual feature model by
+    the measured ranking (scripts/vgg_gap_study.py): real pretrained
+    VGG16 weights if found locally, else the committed framework-native
+    backbone (assets/perceptual/backbone.npz, models/perceptual.py),
+    else plain L1 — the random-feature VGG fallback is ~5x WORSE final
+    normal-map L1 than L1-only (the 1e5-weighted style loss on random
+    Gram matrices injects noise).  True forces real-VGG-shaped perceptual
+    on (random features if no weights), False disables perceptual.
     """
     dataset = TrainDataset(opt, load_mesh=False, seed=opt.seed)
     if len(dataset) < opt.batch_size:
@@ -268,13 +270,25 @@ def pretrain_normals(opt: Options, coarse_params=None,
     item = dataset[0]
     images = jnp.asarray(item["img"][0])[None]  # [1, H, W, 6]
 
+    perceptual = None
     if use_vgg == "auto":
         use_vgg = VGG16Features.find_weights() is not None
         if not use_vgg:
-            print("[pretrain_normals] no pretrained VGG16 found: using "
-                  "L1-only loss (measured better than random-feature "
-                  "perceptual; see scripts/vgg_gap_study.py)")
-    perceptual = None
+            from ..models.perceptual import (
+                CompactFeatures, find_backbone, load_backbone)
+            bpath = find_backbone()
+            if bpath:
+                print(f"[pretrain_normals] no pretrained VGG16 found: "
+                      f"using the framework-native perceptual backbone "
+                      f"({bpath})")
+                perceptual = make_perceptual_loss(
+                    load_backbone(bpath), style_weight=1e2,
+                    feature_model=CompactFeatures(), weight=0.3)
+            else:
+                print("[pretrain_normals] no pretrained VGG16 or native "
+                      "backbone found: using L1-only loss (measured "
+                      "better than random-feature perceptual; see "
+                      "scripts/vgg_gap_study.py)")
     if use_vgg:
         vgg_params = VGG16Features.load_weights(rng_key=opt.seed)
         perceptual = make_perceptual_loss(vgg_params)

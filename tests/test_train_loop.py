@@ -81,6 +81,30 @@ def test_pretrain_normals_runs(synth_root, tmp_path):
     assert "netF" in out and "netB" in out
 
 
+def test_pretrain_normals_native_backbone_auto(synth_root, tmp_path):
+    """use_vgg='auto' with no VGG weights but a committed native backbone
+    (assets/perceptual/backbone.npz) must pick the CompactFeatures
+    perceptual loss and still train (VERDICT r3 task 5)."""
+    import dataclasses
+
+    from rgbd_pifuhd_tpu.models.perceptual import (
+        CompactFeatures, find_backbone, load_backbone)
+    from rgbd_pifuhd_tpu.train.loop import pretrain_normals
+
+    bpath = find_backbone()
+    assert bpath is not None and bpath.endswith("backbone.npz")
+    params = load_backbone(bpath)
+    feats = CompactFeatures().apply(
+        params, np.zeros((1, 32, 32, 3), np.float32))
+    assert len(feats) == 4 and feats[0].shape == (1, 32, 32, 16)
+
+    opt = make_opt(synth_root, str(tmp_path))
+    opt.netG = dataclasses.replace(
+        tiny_global(True), nml_ngf=8, nml_n_downsampling=2, nml_n_blocks=1)
+    out = pretrain_normals(opt, max_steps=1, use_vgg="auto")
+    assert "netF" in out and "netB" in out
+
+
 def test_checkpoint_roundtrip_and_opt_restore(synth_root, tmp_path):
     from rgbd_pifuhd_tpu.utils import checkpoint as ckpt
     from rgbd_pifuhd_tpu.train.loop import build_multires, \
