@@ -354,9 +354,14 @@ def main():
         t0 = time.time()
         recon.gen_mesh(data, ply_path, resolution)
         ply_times.append(time.time() - t0)
-        # opt-in serving fast path: geometric mesh normals (zero device
+        # opt-in serving path: geometric mesh normals (zero device
         # color work) + binary PLY; normal_mode is read at call time so
-        # flipping opt reuses every compiled computation
+        # flipping opt reuses every compiled computation.  NOTE: "zero
+        # device work" is not "free" — mesh normals are computed on the
+        # HOST (recon/mesh.compute_vertex_normals over every face), so on
+        # this 1-core sandbox the path can read SLOWER than device
+        # fd-normals; it wins on multi-core serving hosts where the
+        # device is the contended resource
         recon.opt = opt_serving
         t0 = time.time()
         recon.gen_mesh(data, serving_path, resolution)

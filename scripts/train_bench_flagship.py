@@ -87,12 +87,39 @@ def _memoize_imread():
 
 def train_flagship(dataroot: str, out_dir: str, steps_nml: int = 300,
                    steps_coarse: int = 1200, steps_fine: int = 1200,
-                   log_every: int = 50, seed: int = 0) -> str:
+                   log_every: int = 50, seed: int = 0,
+                   opt_name: str = "adam", lr: float = 3e-3,
+                   far_boost: float = 2.0) -> str:
     """Three-stage flagship training; returns the checkpoint path.
 
     Loss readbacks happen every ``log_every`` steps only — each readback
     costs a ~20-40 ms tunnel round trip, and async dispatch keeps the
     device busy between them.
+
+    ``opt_name``/``lr`` drive the occupancy stages (coarse + fine).  The
+    reference's RMSprop 1e-3 (train.py:141) converges the LOSS here but
+    leaves the FIELD fuzzy at this step budget: measured on a 65^3
+    world lattice after 1200 coarse steps, rmsprop leaves ~164k/275k
+    lattice values in (0.02, 0.98) and ~137k/262k cells with corner
+    disagreement > 0.05 — 60% of empty space ambiguous, which makes every
+    downstream octree (ours or the reference's mesh_util.py:179 rule)
+    refine an order of magnitude more cells than the true surface needs.
+    Adam 3e-3 (what train_bench_tiny uses) saturates the field in the
+    same budget; see /tmp history in docs/PERFORMANCE.md.  The reference
+    recipe remains available via ``--optimizer rmsprop --lr 1e-3``.
+
+    ``far_boost`` appends ``far_boost * num_sample_inout`` extra PURE
+    uniform box samples (exact containment labels) to every occupancy
+    step.  The reference's balanced sampler (TrainDataset.py:98-159,
+    mirrored in data/sampling.py) feeds only ~n/4 uniform points into a
+    ~17n pool and then fills the n/2 outside quota mostly with
+    near-surface jitter — ~3% of each step supervises far space.  A tiny
+    model is forced decisive anyway; at 384M params the field stays
+    ambiguous over ~25% of the reconstruction volume (measured adam
+    3e-3 / 1200 steps: 75k/262k lattice cells with corner disagreement
+    > 0.05 vs ~6k for a clean capsule field), and every downstream
+    octree refines those cells.  Extra query points are nearly free on
+    TPU next to the 1024^2 encoder pass (the MLP is ~1 MFLOP/point).
     """
     import jax
     import jax.numpy as jnp
@@ -166,11 +193,21 @@ def train_flagship(dataroot: str, out_dir: str, steps_nml: int = 300,
                      extrinsic))
     rng = np.random.default_rng(seed)
 
+    box_len = np.asarray(ds.b_max, np.float64) - np.asarray(
+        ds.b_min, np.float64)
+    n_far = int(round(far_boost * opt.num_sample_inout))
+
     def sample_batch(k: int):
         v, fc, tester, *_ = geom[k]
         s, lbl = sample_occupancy_points(
             v, fc, opt.num_sample_inout, ds.b_min, ds.b_max, rng,
             sigma=opt.sigma, tester=tester)
+        if n_far:
+            u = (rng.uniform(size=(n_far, 3)) * box_len
+                 + ds.b_min).astype(np.float32)
+            ul = tester.contains(u)[:, None].astype(np.float32)
+            s = np.concatenate([s, u])
+            lbl = np.concatenate([lbl, ul])
         return jnp.asarray(s), jnp.asarray(lbl)
 
     # ---- stage 2: coarse pretrain with frozen trained normal nets
@@ -182,9 +219,12 @@ def train_flagship(dataroot: str, out_dir: str, steps_nml: int = 300,
     g_params["netF"] = nml_params["netF"]
     g_params["netB"] = nml_params["netB"]
     g_vars = {**g_vars, "params": g_params}
-    tx = make_optimizer("rmsprop", opt.learning_rate)
+    tx = make_optimizer(opt_name, lr)
     g_state = tx.init(g_vars["params"])
-    g_step = jax.jit(make_coarse_train_step(coarse, tx, gamma=0.5))
+    # donate variables+opt_state: at 384M params the old and new trees
+    # must not coexist in HBM (adam doubles the moment memory vs rmsprop)
+    g_step = jax.jit(make_coarse_train_step(coarse, tx, gamma=0.5),
+                     donate_argnums=(0, 1))
     for i in range(steps_coarse):
         k = i % n_items
         s, lbl = sample_batch(k)
@@ -193,6 +233,7 @@ def train_flagship(dataroot: str, out_dir: str, steps_nml: int = 300,
         g_vars, g_state, m = g_step(g_vars, g_state, batch)
         if i % log_every == 0 or i + 1 == steps_coarse:
             log("coarse", i, steps_coarse, float(m["loss"]))
+    g_state = None  # free the coarse moments before stage 3 allocates
 
     # ---- stage 3: fine training on 512^2 crops, frozen coarse.
     # The crop window rect=[256, U(10,512), 512, 512] (TrainDataset
@@ -227,9 +268,15 @@ def train_flagship(dataroot: str, out_dir: str, steps_nml: int = 300,
     f_params = dict(f_vars["params"])
     f_params["netG"] = g_vars["params"]
     f_vars = {**f_vars, "params": f_params}
-    tx_f = make_optimizer("rmsprop", opt.learning_rate)
+    # netG is frozen (stop_gradient) in stage 3: mask it out of the
+    # optimizer so no moments are allocated for its 384M-param subtree
+    # (with adam that alone is ~3 GB of HBM)
+    import optax
+    tx_f = optax.masked(make_optimizer(opt_name, lr),
+                        {k: k != "netG" for k in f_params})
     f_state = tx_f.init(f_vars["params"])
-    f_step = jax.jit(make_fine_train_step(model, tx_f))
+    f_step = jax.jit(make_fine_train_step(model, tx_f),
+                     donate_argnums=(0, 1))
     for i in range(steps_fine):
         f_vars, f_state, m = f_step(f_vars, f_state,
                                     crop_batch(i % n_items, i))
@@ -263,9 +310,19 @@ def main():
         "/dev/shm/rgbd_flagship_data" if os.path.isdir("/dev/shm")
         else "/tmp/rgbd_flagship_data"))
     ap.add_argument("--log-every", type=int, default=50)
+    ap.add_argument("--optimizer", default="adam",
+                    help="occupancy-stage optimizer (adam | rmsprop; "
+                         "rmsprop 1e-3 = the reference recipe)")
+    ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--far-boost", type=float, default=2.0,
+                    help="extra pure-uniform labeled samples per step, as "
+                         "a multiple of num_sample_inout (0 = reference "
+                         "sampler only)")
     args = ap.parse_args()
     train_flagship(args.dataroot, args.out, args.steps_nml,
-                   args.steps_coarse, args.steps_fine, args.log_every)
+                   args.steps_coarse, args.steps_fine, args.log_every,
+                   opt_name=args.optimizer, lr=args.lr,
+                   far_boost=args.far_boost)
 
 
 if __name__ == "__main__":
