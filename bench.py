@@ -562,6 +562,57 @@ def _run_inner():
         main()
 
 
+def _tunnel_alive(timeout_s: float = 150.0) -> bool:
+    """True iff a tiny device readback completes within ``timeout_s``.
+
+    The observed failure mode (2026-08-18, again 2026-08-19) is the tunnel
+    HANGING outright for hours — even a 128x128 matmul readback blocks
+    indefinitely.  A hung attempt burns its whole 2400 s deadline learning
+    nothing, so the watchdog probes first with a disposable subprocess
+    (SIGKILL always lands; an in-process probe could not be cancelled).
+    """
+    import subprocess
+    import sys
+
+    code = ("import jax, jax.numpy as jnp; "
+            "x = jnp.ones((128, 128)); print(float((x @ x).sum()))")
+    child = subprocess.Popen(
+        [sys.executable, "-c", code], stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL, start_new_session=True)
+    try:
+        return child.wait(timeout=timeout_s) == 0
+    except subprocess.TimeoutExpired:
+        import signal
+        try:
+            os.killpg(child.pid, signal.SIGKILL)
+        except OSError:
+            child.kill()
+        child.wait()
+        return False
+
+
+def _wait_for_tunnel(budget_s: float, probe_timeout_s: float = 150.0,
+                     sleep_s: float = 180.0) -> None:
+    """Block until the tunnel answers a probe, up to ``budget_s``.
+
+    On budget exhaustion the watchdog proceeds anyway — the per-attempt
+    deadline still bounds a hung run; this just stops a known-hung tunnel
+    from burning both attempts back-to-back.
+    """
+    import sys
+
+    t0 = time.time()
+    while not _tunnel_alive(probe_timeout_s):
+        waited = time.time() - t0
+        if waited + sleep_s > budget_s:
+            print(f"[bench] tunnel probe still hanging after {waited:.0f}s;"
+                  " proceeding under the attempt deadline", file=sys.stderr)
+            return
+        print(f"[bench] tunnel hung (tiny readback > {probe_timeout_s:.0f}"
+              f"s); retrying probe in {sleep_s:.0f}s", file=sys.stderr)
+        time.sleep(sleep_s)
+
+
 def _run_watchdog(cmd=None, retry_sleep=30.0):
     """Run the bench in a child process with a hard deadline.
 
@@ -578,10 +629,14 @@ def _run_watchdog(cmd=None, retry_sleep=30.0):
     import sys
 
     deadline = float(os.environ.get("BENCH_DEADLINE_S", "2400"))
+    probe_budget = float(os.environ.get("BENCH_PROBE_WAIT_S", "1500"))
     env = dict(os.environ, BENCH_CHILD="1")
+    probe = cmd is None  # only the real bench child talks to the tunnel
     if cmd is None:
         cmd = [sys.executable, os.path.abspath(__file__)]
     for attempt in (1, 2):
+        if probe and probe_budget > 0:
+            _wait_for_tunnel(probe_budget)
         child = subprocess.Popen(cmd, env=env, start_new_session=True)
         try:
             rc = child.wait(timeout=deadline)

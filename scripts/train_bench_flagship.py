@@ -25,6 +25,7 @@ Run on the real TPU (~10-20 min including compiles):
 
 import argparse
 import dataclasses
+import json
 import os
 import sys
 import time
@@ -83,6 +84,73 @@ def _memoize_imread():
 
     imread._flagship_memo = True
     cv2.imread = imread
+
+
+# ---- stage-level resume -------------------------------------------------
+# bench.py runs this trainer inside a 2400 s watchdog (bench._run_watchdog)
+# that SIGKILLs a hung attempt and retries once.  Without resume points a
+# kill mid-training loses everything and attempt 2 restarts from zero —
+# likely dying the same way.  Each completed stage therefore persists a
+# small f16 checkpoint next to the final one; a rerun with the SAME recipe
+# (step counts / optimizer / lr / far_boost / seed, checked via a sidecar
+# tag) skips completed stages.  Stage files are deleted after the final
+# checkpoint lands.
+
+def _stage_paths(out_dir: str):
+    return (os.path.join(out_dir, "stage1_nml"),
+            os.path.join(out_dir, "stage2_coarse"))
+
+
+def _pull_f16(tree):
+    """f32 leaves -> f16 ON DEVICE, then pull: halves the bytes crossing
+    the slow tunnel link (same discipline as the final checkpoint save)."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(
+        lambda x: np.asarray(x.astype(jnp.float16))
+        if getattr(x, "dtype", None) == jnp.float32 else np.asarray(x),
+        tree)
+
+
+def _push_f32(tree):
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(
+        lambda x: jnp.asarray(np.asarray(x, np.float32))
+        if getattr(x, "dtype", None) == np.float16 else jnp.asarray(x),
+        tree)
+
+
+def _save_stage(path, tree, opt, tag):
+    from rgbd_pifuhd_tpu.utils import checkpoint as ckpt
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    # tag is written LAST (and removed first): a kill mid-save leaves a
+    # tagless — hence ignored — stage file, never a validated corrupt one
+    if os.path.exists(path + ".tag"):
+        os.remove(path + ".tag")
+    ckpt.save_checkpoint(path, _pull_f16(tree), opt)
+    with open(path + ".tag", "w") as f:
+        f.write(tag)
+
+
+def _load_stage(path, tag):
+    """Return the stage tree (f32 on device) iff the stage file exists and
+    was produced by the same recipe; None otherwise."""
+    from rgbd_pifuhd_tpu.utils import checkpoint as ckpt
+
+    try:
+        if os.path.exists(path) and os.path.exists(path + ".tag"):
+            with open(path + ".tag") as f:
+                if f.read() == tag:
+                    return _push_f32(ckpt.load_checkpoint(path)["params"])
+    except Exception as e:  # noqa: BLE001 — a corrupt resume point (e.g.
+        # killed mid-save) must mean "retrain the stage", never a crash
+        print(f"[stage] ignoring unreadable resume point {path}: {e}",
+              flush=True)
+    return None
 
 
 def train_flagship(dataroot: str, out_dir: str, steps_nml: int = 300,
@@ -147,29 +215,47 @@ def train_flagship(dataroot: str, out_dir: str, steps_nml: int = 300,
         print(f"[{stage} {i}/{total}] loss={loss:.4f} "
               f"(t+{time.time() - t_start:.0f}s)", flush=True)
 
+    stage1_path, stage2_path = _stage_paths(out_dir)
+    tag = json.dumps(
+        dict(steps_nml=steps_nml, steps_coarse=steps_coarse,
+             steps_fine=steps_fine, opt=opt_name, lr=lr,
+             far_boost=far_boost, seed=seed), sort_keys=True)
+    g_resume = _load_stage(stage2_path, tag)
+
     # ---- stage 1: normal nets on GT normal maps (L1-only)
     gen = GlobalGenerator(output_nc=3, ngf=cfg_g.nml_ngf,
                           n_downsampling=cfg_g.nml_n_downsampling,
                           n_blocks=cfg_g.nml_n_blocks)
     items = [ds[i] for i in range(n_items)]  # images fixed; crop/points not
-    nml_params = {}
-    for net_name, target_key in (("netF", "imF"), ("netB", "imB")):
-        batches = [
-            {"images": jnp.asarray(it["img"][0])[None],
-             "target": jnp.asarray(it[target_key])[None]}
-            for it in items
-        ]
-        params = gen.init(jax.random.PRNGKey(seed), batches[0]["images"])
-        tx = make_optimizer("adam", 2e-4)
-        opt_state = tx.init(params)
-        step = jax.jit(make_normal_train_step(
-            lambda p, x: gen.apply(p, x), tx, perceptual_fn=None))
-        for i in range(steps_nml):
-            params, opt_state, m = step(params, opt_state,
-                                        batches[i % n_items])
-            if i % log_every == 0 or i + 1 == steps_nml:
-                log(net_name, i, steps_nml, float(m["loss"]))
-        nml_params[net_name] = params["params"]
+    nml_params = None if g_resume is not None else _load_stage(
+        stage1_path, tag)
+    if g_resume is not None:
+        print("[stage] resuming past stage 2 (coarse resume point found)",
+              flush=True)
+    elif nml_params is not None:
+        print("[stage] resuming past stage 1 (normal-net resume point "
+              "found)", flush=True)
+    if g_resume is None and nml_params is None:
+        nml_params = {}
+        for net_name, target_key in (("netF", "imF"), ("netB", "imB")):
+            batches = [
+                {"images": jnp.asarray(it["img"][0])[None],
+                 "target": jnp.asarray(it[target_key])[None]}
+                for it in items
+            ]
+            params = gen.init(jax.random.PRNGKey(seed),
+                              batches[0]["images"])
+            tx = make_optimizer("adam", 2e-4)
+            opt_state = tx.init(params)
+            step = jax.jit(make_normal_train_step(
+                lambda p, x: gen.apply(p, x), tx, perceptual_fn=None))
+            for i in range(steps_nml):
+                params, opt_state, m = step(params, opt_state,
+                                            batches[i % n_items])
+                if i % log_every == 0 or i + 1 == steps_nml:
+                    log(net_name, i, steps_nml, float(m["loss"]))
+            nml_params[net_name] = params["params"]
+        _save_stage(stage1_path, nml_params, opt, tag)
 
     # Per-step host->device traffic must stay tiny: the tunnel link runs
     # ~16 MB/s, so images are uploaded ONCE per subject and stay device-
@@ -211,29 +297,34 @@ def train_flagship(dataroot: str, out_dir: str, steps_nml: int = 300,
         return jnp.asarray(s), jnp.asarray(lbl)
 
     # ---- stage 2: coarse pretrain with frozen trained normal nets
-    coarse = CoarsePIFu(cfg_g)
-    s0, l0 = sample_batch(0)
-    g_vars = coarse.init(jax.random.PRNGKey(seed), img_g[0], s0[None],
-                         calib_g[0], l0[None])
-    g_params = dict(g_vars["params"])
-    g_params["netF"] = nml_params["netF"]
-    g_params["netB"] = nml_params["netB"]
-    g_vars = {**g_vars, "params": g_params}
-    tx = make_optimizer(opt_name, lr)
-    g_state = tx.init(g_vars["params"])
-    # donate variables+opt_state: at 384M params the old and new trees
-    # must not coexist in HBM (adam doubles the moment memory vs rmsprop)
-    g_step = jax.jit(make_coarse_train_step(coarse, tx, gamma=0.5),
-                     donate_argnums=(0, 1))
-    for i in range(steps_coarse):
-        k = i % n_items
-        s, lbl = sample_batch(k)
-        batch = {"images": img_g[k], "points": s[None],
-                 "calibs": calib_g[k], "labels": lbl[None]}
-        g_vars, g_state, m = g_step(g_vars, g_state, batch)
-        if i % log_every == 0 or i + 1 == steps_coarse:
-            log("coarse", i, steps_coarse, float(m["loss"]))
-    g_state = None  # free the coarse moments before stage 3 allocates
+    if g_resume is not None:
+        g_vars = g_resume
+    else:
+        coarse = CoarsePIFu(cfg_g)
+        s0, l0 = sample_batch(0)
+        g_vars = coarse.init(jax.random.PRNGKey(seed), img_g[0], s0[None],
+                             calib_g[0], l0[None])
+        g_params = dict(g_vars["params"])
+        g_params["netF"] = nml_params["netF"]
+        g_params["netB"] = nml_params["netB"]
+        g_vars = {**g_vars, "params": g_params}
+        tx = make_optimizer(opt_name, lr)
+        g_state = tx.init(g_vars["params"])
+        # donate variables+opt_state: at 384M params the old and new trees
+        # must not coexist in HBM (adam doubles the moment memory vs
+        # rmsprop)
+        g_step = jax.jit(make_coarse_train_step(coarse, tx, gamma=0.5),
+                         donate_argnums=(0, 1))
+        for i in range(steps_coarse):
+            k = i % n_items
+            s, lbl = sample_batch(k)
+            batch = {"images": img_g[k], "points": s[None],
+                     "calibs": calib_g[k], "labels": lbl[None]}
+            g_vars, g_state, m = g_step(g_vars, g_state, batch)
+            if i % log_every == 0 or i + 1 == steps_coarse:
+                log("coarse", i, steps_coarse, float(m["loss"]))
+        g_state = None  # free the coarse moments before stage 3 allocates
+        _save_stage(stage2_path, g_vars, opt, tag)
 
     # ---- stage 3: fine training on 512^2 crops, frozen coarse.
     # The crop window rect=[256, U(10,512), 512, 512] (TrainDataset
@@ -293,6 +384,10 @@ def train_flagship(dataroot: str, out_dir: str, steps_nml: int = 300,
         f_vars)
     ckpt.save_checkpoint(path, f16, opt,
                          epoch=steps_nml + steps_coarse + steps_fine)
+    for p in (stage1_path, stage2_path):        # resume points served their
+        for q in (p, p + ".tag"):               # purpose; reclaim the cache
+            if os.path.exists(q):
+                os.remove(q)
     n_params = sum(x.size for x in jax.tree.leaves(f_vars))
     print(f"saved {path} ({n_params / 1e6:.1f}M params, "
           f"final fine loss {float(m['loss']):.4f}, "

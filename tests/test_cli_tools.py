@@ -104,6 +104,35 @@ def test_bench_watchdog(tmp_path, monkeypatch, capsys):
     assert "both attempts" in str(ei.value.code)
 
 
+def test_wait_for_tunnel(monkeypatch, capsys):
+    """The watchdog's probe gate: a hung tunnel (probe timeouts) delays
+    the attempt until a probe succeeds; an exhausted probe budget
+    proceeds anyway (the attempt deadline still bounds the run)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    try:
+        import bench
+    finally:
+        sys.path.remove("/root/repo")
+
+    # recovers on the third probe: two sleeps, then proceed
+    seq = iter([False, False, True])
+    sleeps = []
+    monkeypatch.setattr(bench, "_tunnel_alive", lambda t=150.0: next(seq))
+    monkeypatch.setattr(bench.time, "sleep", sleeps.append)
+    bench._wait_for_tunnel(budget_s=1000.0, sleep_s=10.0)
+    assert sleeps == [10.0, 10.0]
+    assert "tunnel hung" in capsys.readouterr().err
+
+    # budget too small for even one wait: return without sleeping
+    monkeypatch.setattr(bench, "_tunnel_alive", lambda t=150.0: False)
+    sleeps.clear()
+    bench._wait_for_tunnel(budget_s=5.0, sleep_s=10.0)
+    assert sleeps == []
+    assert "proceeding under the attempt deadline" in \
+        capsys.readouterr().err
+
+
 def test_run_recon_demo_trained(tmp_path):
     """--demo-trained: hermetic checkpoint-restore + recon from the
     committed trained-tiny model; the mesh must be a real closed surface
