@@ -112,10 +112,7 @@ def _flagship_trained_field(repo: str):
     state = ckpt_mod.load_checkpoint(ckpt_path)
     opt_model = Options.from_dict(state["opt"])
     # upload f16 (half the bytes over the tunnel), cast to f32 on device
-    params = jax.tree.map(
-        lambda x: jnp.asarray(x).astype(jnp.float32)
-        if getattr(x, "dtype", None) == np.float16 else jnp.asarray(x),
-        state["params"])
+    params = tbf._push_f32(state["params"])
 
     tbf.ensure_flagship_dataset(dataroot)
     import dataclasses
@@ -402,8 +399,10 @@ def main():
     else:
         n_eval_pts = n_corner + K1 * 512
     t0 = time.time()
-    verts_idx, faces = recon.extract_mesh(field, resolution)
-    t_march = time.time() - t0            # sparse-direct marching
+    verts_idx, faces = recon.extract_mesh(
+        field, resolution, algorithm=recon._marching_algo())
+    t_march = time.time() - t0            # sparse-direct marching (same
+    # algorithm the headline gen_mesh runs — opt.marching_algo)
     # device->host transfer: every array of the field tuple except the
     # final host-derived scan-cell origins
     xfer_mb = sum(np.asarray(a).nbytes for a in field[:-1]) / 1e6

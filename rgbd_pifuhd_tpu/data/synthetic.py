@@ -105,6 +105,35 @@ def normalize_mesh_height(verts: np.ndarray, target: float = 180.0):
     return (verts - center) * (target / up)
 
 
+# World position every synthetic subject is placed at (roughly the
+# reference's training box: z around -430, TrainDataset.py B_MIN/B_MAX).
+SUBJECT_CENTER = np.array([-128.0, 100.0, -434.0])
+
+
+def bumpy_surface_frame(target_height: float = 180.0):
+    """(c0, scale) of the 'bumpy' subject AFTER dataset placement: the
+    generator normalizes height to ``target_height`` about the mesh
+    center and translates to SUBJECT_CENTER, so the surface is exactly
+    radial around ``c0`` with radius ``scale * bumpy_radius(dir)``.
+    Single source of truth for tests/studies that measure exact
+    distance-to-surface (they must not re-derive this placement)."""
+    v0, _ = make_bumpy_sphere()
+    vmin, vmax = v0.min(axis=0), v0.max(axis=0)
+    scale = target_height / (vmax[1] - vmin[1])
+    c0 = SUBJECT_CENTER - (vmax + vmin) / 2 * scale
+    return c0, scale
+
+
+def bumpy_surface_error(verts: np.ndarray) -> np.ndarray:
+    """Per-vertex |r - r_expected| of ``verts`` (world coords) against the
+    analytic bumpy surface in dataset placement."""
+    c0, scale = bumpy_surface_frame()
+    d = np.asarray(verts, np.float64) - c0
+    r = np.linalg.norm(d, axis=1)
+    dirs = d / np.maximum(r[:, None], 1e-12)
+    return np.abs(r - scale * bumpy_radius(dirs))
+
+
 def rotation_y(deg: float) -> np.ndarray:
     r = np.deg2rad(deg)
     c, s = np.cos(r), np.sin(r)
@@ -430,8 +459,7 @@ def generate_synthetic_dataset(root: str, subjects=("sphere", "capsule"),
         else:
             v, f = make_capsule(1.6, 0.55, 3)
         v = normalize_mesh_height(v, 180.0)
-        # place roughly like the reference's training box (z around -430)
-        center = np.array([-128.0, 100.0, -434.0])
+        center = SUBJECT_CENTER  # reference-like training box placement
         v = v + center
         save_obj_with_color(
             os.path.join(root, "OBJ", f"{name}_100k.obj"), v, f,

@@ -306,14 +306,21 @@ def _mc_table_packed() -> np.ndarray:
     return packed
 
 
+_PACKED_CACHE: dict = {}
+
+
 def _packed_table(algorithm: str):
     """(packed case table, mc_cols) for the C++ kernel: mc_cols == 0
-    selects marching tetrahedra, > 0 the marching-cubes table width."""
-    if algorithm == "mc":
-        t = np.ascontiguousarray(_mc_table_packed())
-        return t, int(t.shape[1])
-    t = np.ascontiguousarray(_case_table_packed())
-    return t, 0
+    selects marching tetrahedra, > 0 the marching-cubes table width.
+    The tables are compile-time constants — packed once per process."""
+    if algorithm not in _PACKED_CACHE:
+        if algorithm == "mc":
+            t = np.ascontiguousarray(_mc_table_packed())
+            _PACKED_CACHE[algorithm] = (t, int(t.shape[1]))
+        else:
+            t = np.ascontiguousarray(_case_table_packed())
+            _PACKED_CACHE[algorithm] = (t, 0)
+    return _PACKED_CACHE[algorithm]
 
 
 def marching_cubes_numpy(volume: np.ndarray, threshold: float = 0.5):
@@ -735,8 +742,10 @@ def marching_tetrahedra(
         if out is not None:
             return out
     if algorithm == "mc":
-        # loop-per-cube reference implementation (small volumes only)
-        return marching_cubes_numpy(volume, threshold)
+        # vectorized slab fallback — marching_cubes_numpy is the
+        # loop-per-cube ORACLE only (at 512^3 it is hours on one core;
+        # a host without the native kernel must still finish in seconds)
+        return _marching_cubes_numpy_vec(volume, threshold, slab)
     X, Y, Z = volume.shape
     flat = volume.reshape(-1)
     inside_flat = flat > threshold
@@ -802,6 +811,13 @@ def marching_tetrahedra(
                 ).reshape(-1, 3) + base
                 tri_chunks.append(tri)
 
+    return _finalize_edge_mesh(edge_keys, tri_chunks, flat, Y, Z, threshold)
+
+
+def _finalize_edge_mesh(edge_keys, tri_chunks, flat, Y, Z, threshold):
+    """Shared tail of the vectorized NumPy extractors: dedup edge-keyed
+    vertices, interpolate positions along unique lattice edges, drop
+    degenerate faces."""
     if not tri_chunks:
         return (
             np.zeros((0, 3), dtype=np.float32),
@@ -838,3 +854,67 @@ def marching_tetrahedra(
         & (faces[:, 0] != faces[:, 2])
     )
     return verts, faces[good]
+
+
+def _marching_cubes_numpy_vec(volume: np.ndarray, threshold: float = 0.5,
+                              slab: int = 32):
+    """Vectorized (slab + per-case) marching cubes over a dense volume —
+    the production NumPy fallback when the native kernel is unavailable.
+    Same derived table, edge-keyed dedup and output contract as the C++
+    kernel and the ``marching_cubes_numpy`` oracle; the per-cube work is
+    a few hundred vectorized case batches instead of a Python loop over
+    every cube."""
+    X, Y, Z = volume.shape
+    flat = volume.reshape(-1)
+    inside_flat = flat > threshold
+    inside3 = inside_flat.reshape(X, Y, Z)
+    offs = (_CORNERS[:, 0] * Y + _CORNERS[:, 1]) * Z + _CORNERS[:, 2]
+    bits = 1 << np.arange(8, dtype=np.int64)
+
+    edge_keys = []   # [E, 2] global corner-id pairs (sorted)
+    tri_chunks = []  # [T, 3] indices INTO the edge list (offset later)
+    for z0 in range(0, Z - 1, slab):
+        z1 = min(z0 + slab, Z - 1)
+        # find mixed cubes by slicing (no per-cube gather in uniform space)
+        i0 = inside3[:-1, :-1, z0:z1]
+        mixed_any = np.zeros_like(i0)
+        mixed_all = np.ones_like(i0)
+        for dx, dy, dz in _CORNERS:
+            c = inside3[dx:X - 1 + dx, dy:Y - 1 + dy, z0 + dz:z1 + dz]
+            mixed_any |= c
+            mixed_all &= c
+        mx, my, mz = np.nonzero(mixed_any & ~mixed_all)
+        if mx.size == 0:
+            continue
+        base = (mx * Y + my) * Z + (mz + z0)
+        cids = base[:, None] + offs[None, :]            # [nc, 8]
+        cins = inside_flat[cids]
+        mask = (cins.astype(np.int64) * bits[None, :]).sum(axis=1)
+
+        for case in np.unique(mask):
+            loops = _MC_CASE_TABLE[case]
+            if not loops:
+                continue
+            sel = np.nonzero(mask == case)[0]
+            # every derived loop is a fanned triangle (asserted at import)
+            tris = np.asarray(loops, np.int64)          # [t, 3] MC edge ids
+            ids_sel = cids[sel]                         # [n, 8]
+            used = np.unique(tris.reshape(-1))
+            pairs = np.stack(
+                [ids_sel[:, _MC_EDGES[e][0]] for e in used]
+                + [ids_sel[:, _MC_EDGES[e][1]] for e in used],
+                axis=1,
+            ).reshape(-1, 2, len(used)).transpose(0, 2, 1)
+            pairs = np.sort(pairs, axis=-1)             # canonical key order
+            base_e = len(edge_keys) and sum(e.shape[0] for e in edge_keys)
+            edge_keys.append(pairs.reshape(-1, 2))
+            remap = {int(e): i for i, e in enumerate(used)}
+            t_local = np.vectorize(remap.get)(tris)     # [t, 3]
+            n = sel.size
+            k = len(used)
+            tri = (
+                np.arange(n)[:, None, None] * k + t_local[None, :, :]
+            ).reshape(-1, 3) + base_e
+            tri_chunks.append(tri)
+
+    return _finalize_edge_mesh(edge_keys, tri_chunks, flat, Y, Z, threshold)

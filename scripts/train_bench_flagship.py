@@ -114,11 +114,13 @@ def _pull_f16(tree):
 
 
 def _push_f32(tree):
+    """Upload f16 leaves as-is (half the tunnel bytes) and cast to f32 ON
+    DEVICE; non-f16 leaves upload unchanged."""
     import jax
     import jax.numpy as jnp
 
     return jax.tree.map(
-        lambda x: jnp.asarray(np.asarray(x, np.float32))
+        lambda x: jnp.asarray(x).astype(jnp.float32)
         if getattr(x, "dtype", None) == np.float16 else jnp.asarray(x),
         tree)
 
@@ -277,13 +279,19 @@ def train_flagship(dataroot: str, out_dir: str, steps_nml: int = 300,
         intr_local = calib_np @ np.linalg.inv(extrinsic)
         geom.append((v, fc, ds.testers[it["name"]], calib_np, intr_local,
                      extrinsic))
-    rng = np.random.default_rng(seed)
+    # Per-STAGE sample streams: stage 3 must draw the same data whether
+    # stage 2 ran in this process or was restored from a resume point (a
+    # shared stream would have been advanced by stage 2's draws, so a
+    # resumed run would silently train on different samples than an
+    # uninterrupted one with the identical recipe tag).
+    rng_coarse = np.random.default_rng(seed)
+    rng_fine = np.random.default_rng(seed + 101)
 
     box_len = np.asarray(ds.b_max, np.float64) - np.asarray(
         ds.b_min, np.float64)
     n_far = int(round(far_boost * opt.num_sample_inout))
 
-    def sample_batch(k: int):
+    def sample_batch(k: int, rng):
         v, fc, tester, *_ = geom[k]
         s, lbl = sample_occupancy_points(
             v, fc, opt.num_sample_inout, ds.b_min, ds.b_max, rng,
@@ -301,7 +309,7 @@ def train_flagship(dataroot: str, out_dir: str, steps_nml: int = 300,
         g_vars = g_resume
     else:
         coarse = CoarsePIFu(cfg_g)
-        s0, l0 = sample_batch(0)
+        s0, l0 = sample_batch(0, rng_coarse)
         g_vars = coarse.init(jax.random.PRNGKey(seed), img_g[0], s0[None],
                              calib_g[0], l0[None])
         g_params = dict(g_vars["params"])
@@ -317,7 +325,7 @@ def train_flagship(dataroot: str, out_dir: str, steps_nml: int = 300,
                          donate_argnums=(0, 1))
         for i in range(steps_coarse):
             k = i % n_items
-            s, lbl = sample_batch(k)
+            s, lbl = sample_batch(k, rng_coarse)
             batch = {"images": img_g[k], "points": s[None],
                      "calibs": calib_g[k], "labels": lbl[None]}
             g_vars, g_state, m = g_step(g_vars, g_state, batch)
@@ -339,13 +347,13 @@ def train_flagship(dataroot: str, out_dir: str, steps_nml: int = 300,
         return jax.lax.dynamic_slice(im, (0, y, 256, 0), (1, 512, 512, 6))
 
     def crop_batch(k: int, i: int):
-        y = int(rng.integers(10, 512))
+        y = int(rng_fine.integers(10, 512))
         im_local = crop512(img_big[k], y)[None]       # [1, 1, 512, 512, 6]
         trans = rect_to_ndc_transform([256, y, 512, 512], 1024, 1024,
                                       flip_y=True)
         _, _, _, _, intr_local, extrinsic = geom[k]
         calib_local = (trans @ intr_local @ extrinsic).astype(np.float32)
-        s, lbl = sample_batch(k)
+        s, lbl = sample_batch(k, rng_fine)
         return {"images_local": im_local, "images_global": img_g[k],
                 "points": s[None, None],
                 "calib_local": jnp.asarray(calib_local)[None, None],
@@ -376,12 +384,7 @@ def train_flagship(dataroot: str, out_dir: str, steps_nml: int = 300,
 
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "ckpt")
-    # cast to f16 ON DEVICE before pulling: halves the bytes crossing the
-    # slow tunnel link (the pull is the expensive part of saving)
-    f16 = jax.tree.map(
-        lambda x: np.asarray(x.astype(jnp.float16))
-        if getattr(x, "dtype", None) == jnp.float32 else np.asarray(x),
-        f_vars)
+    f16 = _pull_f16(f_vars)
     ckpt.save_checkpoint(path, f16, opt,
                          epoch=steps_nml + steps_coarse + steps_fine)
     for p in (stage1_path, stage2_path):        # resume points served their

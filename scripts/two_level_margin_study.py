@@ -20,7 +20,7 @@ import jax, jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from rgbd_pifuhd_tpu.data.synthetic import (
-    generate_synthetic_dataset, make_bumpy_sphere, bumpy_radius)
+    generate_synthetic_dataset, bumpy_surface_error)
 from rgbd_pifuhd_tpu.data.datasets import TrainDataset
 from rgbd_pifuhd_tpu.models import CoarsePIFu, MultiResPIFu
 from rgbd_pifuhd_tpu.train.trainers import (
@@ -42,21 +42,10 @@ opt = Options(dataroot=root, load_size=SIZE_F, load_size_big=SIZE_F,
 ds = TrainDataset(opt, seed=0)
 item = ds[0]
 
-# exact ground-truth transform: normalize_mesh_height params
-v0, _ = make_bumpy_sphere()
-vmin, vmax = v0.min(axis=0), v0.max(axis=0)
-scale = 180.0 / (vmax[1] - vmin[1])
-mid = (vmax + vmin) / 2
-center = np.array([-128.0, 100.0, -434.0])
-c0 = center - mid * scale  # surface is exactly radial around c0
-
-
+# exact ground truth: bumpy_surface_frame owns the dataset placement
 def surf_err(verts):
-    d = verts - c0
-    r = np.linalg.norm(d, axis=1)
-    dirs = d / np.maximum(r[:, None], 1e-12)
-    r_exp = scale * bumpy_radius(dirs)
-    return np.abs(r - r_exp).mean(), np.abs(r - r_exp)
+    e = bumpy_surface_error(verts)
+    return e.mean(), e
 
 
 cfg_g = dataclasses.replace(

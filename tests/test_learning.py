@@ -113,8 +113,7 @@ def test_overfit_two_level_and_reconstruct(tmp_path):
           deterministic config (scripts/two_level_margin_study.py),
           asserted < 0.9 (VERDICT r3 task 4: superiority, not non-harm).
     """
-    from rgbd_pifuhd_tpu.data.synthetic import (
-        make_bumpy_sphere, bumpy_radius)
+    from rgbd_pifuhd_tpu.data.synthetic import bumpy_surface_error
     from rgbd_pifuhd_tpu.models import MultiResPIFu
     from rgbd_pifuhd_tpu.recon.pipeline import (
         CoarseReconstructor, Reconstructor)
@@ -129,19 +128,10 @@ def test_overfit_two_level_and_reconstruct(tmp_path):
     ds = TrainDataset(opt, seed=0)
     item = ds[0]
 
-    # exact ground truth: the dataset normalizes mesh height to 180 about
-    # the subject center, so the surface is exactly radial around c0 with
-    # radius scale * bumpy_radius(direction)
-    v0, _ = make_bumpy_sphere()
-    vmin, vmax = v0.min(axis=0), v0.max(axis=0)
-    scale = 180.0 / (vmax[1] - vmin[1])
-    c0 = np.array([-128.0, 100.0, -434.0]) - (vmax + vmin) / 2 * scale
-
+    # exact ground truth: bumpy_surface_frame owns the dataset placement
+    # (the surface is exactly radial around its c0)
     def surf_err(verts):
-        d = verts - c0
-        r = np.linalg.norm(d, axis=1)
-        dirs = d / np.maximum(r[:, None], 1e-12)
-        return np.abs(r - scale * bumpy_radius(dirs)).mean()
+        return bumpy_surface_error(verts).mean()
 
     # ---- 1. pretrain the coarse level (netG) on the 128^2 view
     cfg_g = _coarse_cfg(load_size=size_c, z_size=z_size)

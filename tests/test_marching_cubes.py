@@ -92,6 +92,28 @@ def test_native_matches_numpy():
         np.testing.assert_allclose(a, b, atol=1e-4)
 
 
+def test_vectorized_fallback_matches_oracle():
+    """marching_tetrahedra(algorithm='mc', use_native=False) routes to the
+    vectorized slab fallback (_marching_cubes_numpy_vec) — it must produce
+    the oracle's exact vertex set and face count (the loop-per-cube oracle
+    is hours at 512^3; production hosts without the native kernel get the
+    vectorized path).  Slab boundaries must not crack the mesh."""
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        vol = np.zeros((12, 12, 12), np.float32)
+        vol[1:-1, 1:-1, 1:-1] = rng.uniform(0, 1, (10, 10, 10))
+        # slab=3 forces several slab boundaries inside the volume
+        vv, fv = marching_tetrahedra(vol, 0.5, slab=3, use_native=False,
+                                     algorithm="mc")
+        vp, fp = marching_cubes_numpy(vol, 0.5)
+        assert len(vv) == len(vp) and len(fv) == len(fp)
+        a = np.array(sorted(map(tuple, np.round(vv, 4))))
+        b = np.array(sorted(map(tuple, np.round(vp, 4))))
+        np.testing.assert_allclose(a, b, atol=1e-4)
+        # watertight through slab boundaries
+        assert not [k for k, n in _edge_use_counts(fv).items() if n != 2]
+
+
 def test_sparse3_mc_matches_densified(rng):
     """Sparse-direct MC extraction == densify + dense MC (the same
     identity the MT kernels guarantee), via the pipeline's own evaluator
