@@ -109,9 +109,12 @@ def _flagship_trained_field(repo: str):
     from rgbd_pifuhd_tpu.utils import checkpoint as ckpt_mod
     from rgbd_pifuhd_tpu.utils.options import Options
 
+    import sys
     state = ckpt_mod.load_checkpoint(ckpt_path)
     opt_model = Options.from_dict(state["opt"])
     # upload f16 (half the bytes over the tunnel), cast to f32 on device
+    print("[bench] uploading flagship checkpoint (~770 MB f16 over the "
+          "tunnel — minutes)", file=sys.stderr)
     params = tbf._push_f32(state["params"])
 
     tbf.ensure_flagship_dataset(dataroot)
@@ -316,12 +319,14 @@ def main():
     # two consecutive passes agree within 5% (sandbox caches / tunnel
     # connection pools warm over several passes — BENCH_r03's timed runs
     # were still warming at run 7), capped at 6 passes total.
+    import sys
     prev = None
     for widx in range(6):
         t0 = time.time()
         r = run_with_retry(lambda: recon.gen_mesh(data, obj_path, resolution),
                            label=f"warmup gen_mesh {widx + 1}")
         dt = time.time() - t0
+        print(f"[bench] warmup pass {widx + 1}: {dt:.2f}s", file=sys.stderr)
         if prev is not None and widx >= 1 and \
                 abs(dt - prev) <= 0.05 * min(dt, prev):
             break
@@ -364,6 +369,9 @@ def main():
         recon.gen_mesh(data, serving_path, resolution)
         serving_times.append(time.time() - t0)
         recon.opt = opt
+        print(f"[bench] timed round {len(times)}/8: obj {times[-1]:.2f}s "
+              f"ply {ply_times[-1]:.2f}s serving {serving_times[-1]:.2f}s",
+              file=sys.stderr)
     best = int(np.argmin(times))
     secs = float(times[best])
     ply_secs = float(min(ply_times))
@@ -439,12 +447,14 @@ def main():
         return (time.time() - t0) / 3.0
 
     serial3 = piped = float("inf")
-    for swap in (False, True, False):
+    for ridx, swap in enumerate((False, True, False)):
         a, b = (run_piped, run_serial) if swap else (run_serial, run_piped)
         ta, tb = a(), b()
         ts, tp = (tb, ta) if swap else (ta, tb)
         serial3 = min(serial3, ts)
         piped = min(piped, tp)
+        print(f"[bench] multi-subject round {ridx + 1}/3: "
+              f"serial {ts:.2f}s piped {tp:.2f}s", file=sys.stderr)
     # On a 1-core host gen_mesh_many auto-falls-back to the serial path,
     # so BOTH labels above sample the SAME code path and any split between
     # them is throttle noise attributed to different names (BENCH_r02's
@@ -612,36 +622,97 @@ def _wait_for_tunnel(budget_s: float, probe_timeout_s: float = 150.0,
         time.sleep(sleep_s)
 
 
+def _default_deadline_s() -> float:
+    """Per-attempt watchdog deadline: 2400 s covers a bench run against an
+    existing flagship checkpoint; when the checkpoint must be TRAINED
+    in-bench (~1800 s on this chip before the first timed pass), a 2400 s
+    attempt is guaranteed to die mid-bench and waste its training on the
+    retry, so the deadline grows to 4200 s.  BENCH_DEADLINE_S overrides."""
+    ckpt = os.environ.get(
+        "RGBD_PIFUHD_FLAGSHIP_CKPT",
+        os.path.expanduser(  # keep in sync with train_bench_flagship.DEFAULT_OUT
+            "~/.cache/rgbd_pifuhd_tpu/flagship/ckpt"))
+    trains = (not os.path.exists(ckpt)
+              and os.environ.get("BENCH_TRAIN_FLAGSHIP", "1") == "1")
+    return 4200.0 if trains else 2400.0
+
+
+def _pump(stream, sink, stamp):
+    """Forward child output line-by-line, stamping last-activity time."""
+    for line in iter(stream.readline, ""):
+        sink.write(line)
+        sink.flush()
+        stamp[0] = time.time()
+    stream.close()
+
+
 def _run_watchdog(cmd=None, retry_sleep=30.0):
-    """Run the bench in a child process with a hard deadline.
+    """Run the bench in a child process under PROGRESS-AWARE supervision.
 
     Retries (error-filtered) catch tunnel failures that RAISE; they cannot
     catch the tunnel simply HANGING — a blocked jax call never returns to
     Python, so no signal handler or timeout fires in-process (observed
-    2026-08-18: a 256x256 matmul readback blocked >240 s; the whole round's
-    driver-recorded bench would have sat at that call until the driver
-    killed it).  The child inherits stdout (the driver reads the JSON line
-    from there); on deadline the whole process group is killed and the run
-    retried once.  ``cmd`` overrides the child command (tests).
+    2026-08-18: a 256x256 matmul readback blocked >240 s).
+
+    A fixed total deadline turned out to be the WRONG kill rule on its
+    own: on 2026-08-19 the tunnel flapped on a ~10-60 min cadence, and a
+    connection ESTABLISHED before a flap keeps working — the deadline
+    killed a healthy attempt mid-run, and the replacement process then
+    blocked on the flapped tunnel.  The child's stdout/stderr are
+    therefore piped through (the driver still reads the JSON line from
+    parent stdout) and the kill rule is SILENCE: no output line for
+    ``BENCH_SILENCE_S`` (default min(900, deadline)) means a real hang —
+    the child emits heartbeats at every phase.  The total deadline
+    (``BENCH_DEADLINE_S``; auto 2400 s / 4200 s-when-training) remains as
+    an absolute backstop.  On kill the whole process group dies and the
+    run is retried once (training resumes from stage checkpoints).
+    ``cmd`` overrides the child command (tests).
     """
     import subprocess
     import sys
+    import threading
 
-    deadline = float(os.environ.get("BENCH_DEADLINE_S", "2400"))
     probe_budget = float(os.environ.get("BENCH_PROBE_WAIT_S", "1500"))
-    env = dict(os.environ, BENCH_CHILD="1")
+    env = dict(os.environ, BENCH_CHILD="1", PYTHONUNBUFFERED="1")
     probe = cmd is None  # only the real bench child talks to the tunnel
     if cmd is None:
         cmd = [sys.executable, os.path.abspath(__file__)]
     for attempt in (1, 2):
         if probe and probe_budget > 0:
             _wait_for_tunnel(probe_budget)
-        child = subprocess.Popen(cmd, env=env, start_new_session=True)
-        try:
-            rc = child.wait(timeout=deadline)
-        except subprocess.TimeoutExpired:
+        # re-evaluated per attempt: attempt 1 may have finished training
+        # and saved the checkpoint before dying mid-bench — attempt 2
+        # then needs only the tighter no-training deadline
+        deadline = float(os.environ.get("BENCH_DEADLINE_S", "0")) \
+            or (_default_deadline_s() if probe else 2400.0)
+        silence = float(os.environ.get("BENCH_SILENCE_S", "0")) \
+            or min(900.0, deadline)
+        child = subprocess.Popen(cmd, env=env, start_new_session=True,
+                                 stdout=subprocess.PIPE,
+                                 stderr=subprocess.PIPE, text=True)
+        stamp = [time.time()]
+        t0 = time.time()
+        pumps = [
+            threading.Thread(target=_pump, daemon=True,
+                             args=(child.stdout, sys.stdout, stamp)),
+            threading.Thread(target=_pump, daemon=True,
+                             args=(child.stderr, sys.stderr, stamp)),
+        ]
+        for t in pumps:
+            t.start()
+        timed_out = None
+        while child.poll() is None:
+            now = time.time()
+            if now - stamp[0] > silence:
+                timed_out = f"silent for {silence:.0f}s"
+                break
+            if now - t0 > deadline:
+                timed_out = f"no result after {deadline:.0f}s"
+                break
+            time.sleep(1.0)
+        if timed_out is not None:
             import signal
-            print(f"[bench] no result after {deadline:.0f}s "
+            print(f"[bench] {timed_out} "
                   f"(attempt {attempt}/2): backend hang — killing run",
                   file=sys.stderr)
             try:
@@ -649,11 +720,16 @@ def _run_watchdog(cmd=None, retry_sleep=30.0):
             except OSError:
                 child.kill()
             child.wait()
+            for t in pumps:
+                t.join(timeout=10.0)
             if attempt == 2:
                 raise SystemExit(
                     "bench: backend hung through both attempts") from None
             time.sleep(retry_sleep)
             continue
+        rc = child.wait()
+        for t in pumps:
+            t.join(timeout=10.0)
         raise SystemExit(rc)
 
 

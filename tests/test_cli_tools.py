@@ -104,6 +104,48 @@ def test_bench_watchdog(tmp_path, monkeypatch, capsys):
     assert "both attempts" in str(ei.value.code)
 
 
+def test_watchdog_progress_aware(tmp_path, monkeypatch, capsys):
+    """The silence-based kill rule: a child that keeps PRINTING stays
+    alive past the silence window (a healthy slow run must never be
+    killed — the 2026-08-19 flap showed established connections keep
+    working while new processes block), and its stdout is piped through
+    to the parent (the driver reads the JSON line there).  A child that
+    goes quiet dies at the silence deadline, not the total deadline."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    try:
+        import bench
+    finally:
+        sys.path.remove("/root/repo")
+
+    # chatty child: prints every 1 s for 6 s, then the "JSON" line
+    stub = tmp_path / "chatty.py"
+    stub.write_text(
+        "import time\n"
+        "for i in range(6):\n"
+        "    print(f'heartbeat {i}', flush=True)\n"
+        "    time.sleep(1)\n"
+        "print('{\"metric\": \"ok\"}', flush=True)\n")
+    monkeypatch.setenv("BENCH_DEADLINE_S", "60")
+    monkeypatch.setenv("BENCH_SILENCE_S", "4")
+    with pytest.raises(SystemExit) as ei:
+        bench._run_watchdog([sys.executable, str(stub)], retry_sleep=0.0)
+    assert ei.value.code == 0
+    out = capsys.readouterr().out
+    assert '{"metric": "ok"}' in out and "heartbeat 5" in out
+
+    # quiet child: one line then silence — killed by the SILENCE rule
+    # (4 s) long before the 60 s total deadline, on both attempts
+    stub.write_text("print('starting', flush=True)\n"
+                    "import time\ntime.sleep(60)\n")
+    t0 = __import__("time").time()
+    with pytest.raises(SystemExit) as ei:
+        bench._run_watchdog([sys.executable, str(stub)], retry_sleep=0.0)
+    assert "both attempts" in str(ei.value.code)
+    assert __import__("time").time() - t0 < 40  # 2 x ~5 s, not 2 x 60 s
+    assert "silent for 4s" in capsys.readouterr().err
+
+
 def test_wait_for_tunnel(monkeypatch, capsys):
     """The watchdog's probe gate: a hung tunnel (probe timeouts) delays
     the attempt until a probe succeeds; an exhausted probe budget
