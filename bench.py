@@ -6,17 +6,16 @@ value < 1.0 means faster than the target.
 
 This is ONE CONTINUOUS gen_mesh() call — encode, sparse two-phase 512^3
 grid evaluation, device->host sparse transfer, sparse-direct marching
-tetrahedra, fd-normal vertex coloring, OBJ write — not stitched components.
+cubes, fd-normal vertex coloring, OBJ write — not stitched components.
 
-The model is the untrained flagship architecture; an untrained field is
-empty, so the query blends the model's occupancy at 1e-6 weight with a
-REAL TRAINED field — the committed trained-tiny two-level model
-(assets/bench_tiny, scripts/train_bench_tiny.py) evaluated on the same
-synthetic capsule subject whose flagship-resolution renders feed the
-encoders: FULL flagship compute runs per query point (the blend is not
-DCE-able), while marching/coloring/IO see the realistic surface an actual
-trained model produces.  Without the checkpoint the surface falls back to
-an analytic capsule.
+The surface is the TRAINED FLAGSHIP model's own field: the checkpoint
+from scripts/train_bench_flagship.py (384.6M params) reconstructs
+end-to-end with no blend; when the checkpoint is absent the bench TRAINS
+it in-process first (reduced steps, stage-level resume).  Only if that
+fails does it fall back to the round-3 scheme — untrained flagship
+compute blended 1e-6 over the committed trained-tiny field
+(assets/bench_tiny) or, without any checkpoint, an analytic capsule; the
+emitted "surface" field says which path ran.
 
 Also reported: pipelined multi-subject throughput (gen_mesh_many overlaps
 host marching with the next subject's device evaluation) and raw grid-query
@@ -112,10 +111,31 @@ def _flagship_trained_field(repo: str):
     import sys
     state = ckpt_mod.load_checkpoint(ckpt_path)
     opt_model = Options.from_dict(state["opt"])
-    # upload f16 (half the bytes over the tunnel), cast to f32 on device
-    print("[bench] uploading flagship checkpoint (~770 MB f16 over the "
-          "tunnel — minutes)", file=sys.stderr)
-    params = tbf._push_f32(state["params"])
+    # Upload f16 (half the bytes over the tunnel), cast to f32 on device —
+    # CHUNKED with a forced drain + heartbeat every ~64 MB: the one-shot
+    # tree upload is a multi-minute silent window during which a tunnel
+    # flap looks identical to normal progress (observed 2026-08-19: an
+    # upload stalled at ~2 s CPU / 18 min wall); with heartbeats the
+    # watchdog's silence rule kills a real stall in minutes instead.
+    total_mb = sum(getattr(x, "nbytes", 0)
+                   for x in jax.tree.leaves(state["params"])) / 1e6
+    print(f"[bench] uploading flagship checkpoint ({total_mb:.0f} MB f16 "
+          "over the tunnel — minutes)", file=sys.stderr)
+    leaves, treedef = jax.tree.flatten(state["params"])
+    up, acc, done_mb = [], 0.0, 0.0
+    for x in leaves:
+        d = jnp.asarray(x)
+        if getattr(x, "dtype", None) == np.float16:
+            d = d.astype(jnp.float32)
+        up.append(d)
+        acc += getattr(x, "nbytes", 0)
+        if acc > 64e6:
+            float(d.ravel()[0])          # drain the async upload queue
+            done_mb += acc / 1e6
+            acc = 0.0
+            print(f"[bench] ... {done_mb:.0f}/{total_mb:.0f} MB uploaded",
+                  file=sys.stderr)
+    params = jax.tree.unflatten(treedef, up)
 
     tbf.ensure_flagship_dataset(dataroot)
     import dataclasses
@@ -665,7 +685,8 @@ def _run_watchdog(cmd=None, retry_sleep=30.0):
     the child emits heartbeats at every phase.  The total deadline
     (``BENCH_DEADLINE_S``; auto 2400 s / 4200 s-when-training) remains as
     an absolute backstop.  On kill the whole process group dies and the
-    run is retried once (training resumes from stage checkpoints).
+    run is retried (3 attempts; training resumes from stage
+    checkpoints, a trained checkpoint is reused).
     ``cmd`` overrides the child command (tests).
     """
     import subprocess
@@ -677,7 +698,8 @@ def _run_watchdog(cmd=None, retry_sleep=30.0):
     probe = cmd is None  # only the real bench child talks to the tunnel
     if cmd is None:
         cmd = [sys.executable, os.path.abspath(__file__)]
-    for attempt in (1, 2):
+    attempts = 3
+    for attempt in range(1, attempts + 1):
         if probe and probe_budget > 0:
             _wait_for_tunnel(probe_budget)
         # re-evaluated per attempt: attempt 1 may have finished training
@@ -713,7 +735,8 @@ def _run_watchdog(cmd=None, retry_sleep=30.0):
         if timed_out is not None:
             import signal
             print(f"[bench] {timed_out} "
-                  f"(attempt {attempt}/2): backend hang — killing run",
+                  f"(attempt {attempt}/{attempts}): backend hang — "
+                  f"killing run",
                   file=sys.stderr)
             try:
                 os.killpg(child.pid, signal.SIGKILL)
@@ -722,9 +745,9 @@ def _run_watchdog(cmd=None, retry_sleep=30.0):
             child.wait()
             for t in pumps:
                 t.join(timeout=10.0)
-            if attempt == 2:
+            if attempt == attempts:
                 raise SystemExit(
-                    "bench: backend hung through both attempts") from None
+                    "bench: backend hung through all attempts") from None
             time.sleep(retry_sleep)
             continue
         rc = child.wait()

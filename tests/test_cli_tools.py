@@ -96,12 +96,12 @@ def test_bench_watchdog(tmp_path, monkeypatch, capsys):
     assert ei.value.code == 0
     assert "backend hang" in capsys.readouterr().err
 
-    # both attempts hanging -> red exit with a message
+    # every attempt hanging -> red exit with a message
     marker2 = tmp_path / "never"
     stub.write_text("import time\ntime.sleep(60)\n")
     with pytest.raises(SystemExit) as ei:
         bench._run_watchdog([sys.executable, str(stub)], retry_sleep=0.0)
-    assert "both attempts" in str(ei.value.code)
+    assert "all attempts" in str(ei.value.code)
 
 
 def test_watchdog_progress_aware(tmp_path, monkeypatch, capsys):
@@ -135,14 +135,14 @@ def test_watchdog_progress_aware(tmp_path, monkeypatch, capsys):
     assert '{"metric": "ok"}' in out and "heartbeat 5" in out
 
     # quiet child: one line then silence — killed by the SILENCE rule
-    # (4 s) long before the 60 s total deadline, on both attempts
+    # (4 s) long before the 60 s total deadline, on every attempt
     stub.write_text("print('starting', flush=True)\n"
                     "import time\ntime.sleep(60)\n")
     t0 = __import__("time").time()
     with pytest.raises(SystemExit) as ei:
         bench._run_watchdog([sys.executable, str(stub)], retry_sleep=0.0)
-    assert "both attempts" in str(ei.value.code)
-    assert __import__("time").time() - t0 < 40  # 2 x ~5 s, not 2 x 60 s
+    assert "all attempts" in str(ei.value.code)
+    assert __import__("time").time() - t0 < 55  # 3 x ~5 s, not 3 x 60 s
     assert "silent for 4s" in capsys.readouterr().err
 
 
