@@ -129,7 +129,7 @@ def _flagship_trained_field(repo: str):
             d = d.astype(jnp.float32)
         up.append(d)
         acc += getattr(x, "nbytes", 0)
-        if acc > 64e6:
+        if acc > 64e6 and d.size:
             float(d.ravel()[0])          # drain the async upload queue
             done_mb += acc / 1e6
             acc = 0.0
