@@ -709,6 +709,16 @@ def _run_watchdog(cmd=None, retry_sleep=30.0):
             or (_default_deadline_s() if probe else 2400.0)
         silence = float(os.environ.get("BENCH_SILENCE_S", "0")) \
             or min(900.0, deadline)
+        # A PROGRESSING run outlives the deadline (2026-08-20: a crawling
+        # tunnel stretched the timed rounds to ~45 s each and the fixed
+        # deadline killed the run seconds before its final JSON; the
+        # retry then re-uploaded 769 MB over the same crawling tunnel).
+        # Past the deadline the kill needs BOTH stale output (>300 s) —
+        # fresh heartbeats mean the run is slow, not hung — and the hard
+        # cap bounds even a heartbeat-emitting run absolutely.
+        stale = min(300.0, silence)
+        hard_cap = float(os.environ.get("BENCH_HARD_CAP_S", "0")) \
+            or 3.0 * deadline
         child = subprocess.Popen(cmd, env=env, start_new_session=True,
                                  stdout=subprocess.PIPE,
                                  stderr=subprocess.PIPE, text=True)
@@ -728,8 +738,12 @@ def _run_watchdog(cmd=None, retry_sleep=30.0):
             if now - stamp[0] > silence:
                 timed_out = f"silent for {silence:.0f}s"
                 break
-            if now - t0 > deadline:
-                timed_out = f"no result after {deadline:.0f}s"
+            if now - t0 > deadline and now - stamp[0] > stale:
+                timed_out = (f"no result after {deadline:.0f}s with output "
+                             f"stale for {now - stamp[0]:.0f}s")
+                break
+            if now - t0 > hard_cap:
+                timed_out = f"no result after hard cap {hard_cap:.0f}s"
                 break
             time.sleep(1.0)
         if timed_out is not None:

@@ -146,6 +146,40 @@ def test_watchdog_progress_aware(tmp_path, monkeypatch, capsys):
     assert "silent for 4s" in capsys.readouterr().err
 
 
+def test_watchdog_deadline_yields_to_progress(tmp_path, monkeypatch, capsys):
+    """A child emitting fresh heartbeats OUTLIVES the total deadline (the
+    2026-08-20 crawl stretched a healthy run past 2400 s and the fixed
+    deadline killed it seconds before its final JSON); only the hard cap
+    (BENCH_HARD_CAP_S, default 3x deadline) bounds a progressing run."""
+    import sys
+    import time as _time
+    sys.path.insert(0, "/root/repo")
+    try:
+        import bench
+    finally:
+        sys.path.remove("/root/repo")
+
+    # prints every 0.5 s forever: past deadline (3 s) but never stale
+    stub = tmp_path / "slowpoke.py"
+    stub.write_text(
+        "import time\n"
+        "for i in range(120):\n"
+        "    print(f'beat {i}', flush=True)\n"
+        "    time.sleep(0.5)\n")
+    monkeypatch.setenv("BENCH_DEADLINE_S", "3")
+    monkeypatch.setenv("BENCH_SILENCE_S", "60")
+    monkeypatch.setenv("BENCH_HARD_CAP_S", "8")
+    t0 = _time.time()
+    with pytest.raises(SystemExit) as ei:
+        bench._run_watchdog([sys.executable, str(stub)], retry_sleep=0.0)
+    elapsed = _time.time() - t0
+    assert "all attempts" in str(ei.value.code)
+    err = capsys.readouterr().err
+    assert "hard cap" in err and "stale" not in err
+    # each attempt lived to the 8 s cap, well past the 3 s deadline
+    assert elapsed > 8.0
+
+
 def test_wait_for_tunnel(monkeypatch, capsys):
     """The watchdog's probe gate: a hung tunnel (probe timeouts) delays
     the attempt until a probe succeeds; an exhausted probe budget
