@@ -416,7 +416,28 @@ def main():
                     help="extra pure-uniform labeled samples per step, as "
                          "a multiple of num_sample_inout (0 = reference "
                          "sampler only)")
+    ap.add_argument("--supervised", action="store_true",
+                    help="re-exec this training under bench.py's "
+                         "progress-aware watchdog: probe-gate a hung "
+                         "tunnel, SIGKILL on output silence, retry with "
+                         "stage-level resume. Use on flaky device links "
+                         "(a blocked jax call never returns to Python, so "
+                         "no in-process timeout can catch a tunnel hang)")
     args = ap.parse_args()
+    if args.supervised:
+        import bench  # repo root is on sys.path (top of this file)
+
+        # training runs longer than a plain bench: silence-kill after
+        # 600 s of no output (steps log every --log-every; the longest
+        # single compile observed is ~120 s), absolute deadline 4200 s
+        # per attempt at the full default step counts
+        os.environ.setdefault("BENCH_DEADLINE_S", "4200")
+        os.environ.setdefault("BENCH_SILENCE_S", "600")
+        bench._wait_for_tunnel(
+            float(os.environ.get("BENCH_PROBE_WAIT_S", "1800")))
+        cmd = [sys.executable, os.path.abspath(__file__)] + \
+            [a for a in sys.argv[1:] if a != "--supervised"]
+        bench._run_watchdog(cmd=cmd, retry_sleep=60.0)  # raises SystemExit
     train_flagship(args.dataroot, args.out, args.steps_nml,
                    args.steps_coarse, args.steps_fine, args.log_every,
                    opt_name=args.optimizer, lr=args.lr,

@@ -80,3 +80,35 @@ def test_stage_missing_or_corrupt_is_retrain(tbf, tmp_path):
     with open(path + ".tag", "w") as f:
         f.write("t")
     assert tbf._load_stage(path, "t") is None
+
+
+def test_supervised_reexecs_under_watchdog(tbf, monkeypatch):
+    """--supervised hands the SAME argv (minus the flag) to bench's
+    progress-aware watchdog instead of training in-process."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    import bench
+
+    calls = {}
+    monkeypatch.setattr(bench, "_wait_for_tunnel",
+                        lambda *a, **k: calls.setdefault("probed", True))
+
+    def fake_watchdog(cmd=None, retry_sleep=30.0):
+        calls["cmd"] = cmd
+        raise SystemExit(0)
+
+    monkeypatch.setattr(bench, "_run_watchdog", fake_watchdog)
+    monkeypatch.setattr(
+        tbf, "train_flagship",
+        lambda *a, **k: calls.setdefault("trained", True))
+    monkeypatch.setattr(sys, "argv", [
+        "train_bench_flagship.py", "--supervised", "--steps-fine", "7"])
+
+    with pytest.raises(SystemExit):
+        tbf.main()
+
+    assert calls.get("probed")
+    assert "trained" not in calls          # the parent never trains
+    assert "--supervised" not in calls["cmd"]    # child runs for real
+    assert calls["cmd"][-2:] == ["--steps-fine", "7"]
