@@ -687,7 +687,9 @@ def _run_watchdog(cmd=None, retry_sleep=30.0):
     an absolute backstop.  On kill the whole process group dies and the
     run is retried (3 attempts; training resumes from stage
     checkpoints, a trained checkpoint is reused).
-    ``cmd`` overrides the child command (tests).
+    ``cmd`` overrides the child command (tests; tunnel-touching callers
+    like train_bench_flagship --supervised pass ``probe=True`` to keep
+    the per-attempt probe gate they would otherwise lose).
     """
     import subprocess
     import sys
@@ -695,7 +697,8 @@ def _run_watchdog(cmd=None, retry_sleep=30.0):
 
     probe_budget = float(os.environ.get("BENCH_PROBE_WAIT_S", "1500"))
     env = dict(os.environ, BENCH_CHILD="1", PYTHONUNBUFFERED="1")
-    probe = cmd is None  # only the real bench child talks to the tunnel
+    if probe is None:
+        probe = cmd is None  # the real bench child talks to the tunnel
     if cmd is None:
         cmd = [sys.executable, os.path.abspath(__file__)]
     attempts = 3
