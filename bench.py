@@ -531,6 +531,7 @@ def main():
         "unit": "s",
         "vs_baseline": round(secs / 2.0, 4),
         "runs_s": [round(t, 3) for t in times],
+        "n_runs": len(times),
         "median_s": round(float(np.median(times)), 4),
         "best_run_phases": phases[best],
         "r1_composition_s": round(t_enc + t_field + t_march, 4),
@@ -666,7 +667,7 @@ def _pump(stream, sink, stamp):
     stream.close()
 
 
-def _run_watchdog(cmd=None, retry_sleep=30.0):
+def _run_watchdog(cmd=None, retry_sleep=30.0, probe=None):
     """Run the bench in a child process under PROGRESS-AWARE supervision.
 
     Retries (error-filtered) catch tunnel failures that RAISE; they cannot

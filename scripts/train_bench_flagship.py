@@ -433,11 +433,26 @@ def main():
         # per attempt at the full default step counts
         os.environ.setdefault("BENCH_DEADLINE_S", "4200")
         os.environ.setdefault("BENCH_SILENCE_S", "600")
-        bench._wait_for_tunnel(
-            float(os.environ.get("BENCH_PROBE_WAIT_S", "1800")))
-        cmd = [sys.executable, os.path.abspath(__file__)] + \
-            [a for a in sys.argv[1:] if a != "--supervised"]
-        bench._run_watchdog(cmd=cmd, retry_sleep=60.0)  # raises SystemExit
+        os.environ.setdefault("BENCH_PROBE_WAIT_S", "1800")
+        # Re-build the child argv from PARSED args (not by filtering
+        # sys.argv): argparse accepts prefix abbreviations like --super,
+        # which a string filter would pass through to the child, causing
+        # an endless nested-watchdog re-exec.
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--steps-nml", str(args.steps_nml),
+               "--steps-coarse", str(args.steps_coarse),
+               "--steps-fine", str(args.steps_fine),
+               "--out", args.out,
+               "--dataroot", args.dataroot,
+               "--log-every", str(args.log_every),
+               "--optimizer", args.optimizer,
+               "--lr", str(args.lr),
+               "--far-boost", str(args.far_boost)]
+        # probe=True keeps the PER-ATTEMPT tunnel-probe gate: training
+        # talks to the device tunnel on every attempt, and a retry after
+        # a tunnel flap must wait for the tunnel to answer again.
+        bench._run_watchdog(cmd=cmd, retry_sleep=60.0,
+                            probe=True)  # raises SystemExit
     train_flagship(args.dataroot, args.out, args.steps_nml,
                    args.steps_coarse, args.steps_fine, args.log_every,
                    opt_name=args.optimizer, lr=args.lr,

@@ -209,6 +209,46 @@ def test_wait_for_tunnel(monkeypatch, capsys):
         capsys.readouterr().err
 
 
+def test_watchdog_probe_gate(tmp_path, monkeypatch, capsys):
+    """probe=True runs the tunnel-probe gate before EVERY attempt through
+    the REAL _run_watchdog (the r4 regression shipped because the only
+    probe-path test monkeypatched the watchdog away): a hung child is
+    killed, and the retry probes the tunnel again before re-launching."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    try:
+        import bench
+    finally:
+        sys.path.remove("/root/repo")
+
+    probes = []
+    monkeypatch.setattr(bench, "_wait_for_tunnel",
+                        lambda budget_s, **k: probes.append(budget_s))
+    monkeypatch.setenv("BENCH_PROBE_WAIT_S", "123")
+    monkeypatch.setenv("BENCH_DEADLINE_S", "15")
+
+    marker = tmp_path / "second_attempt"
+    stub = tmp_path / "child.py"
+    stub.write_text(
+        "import os, sys, time\n"
+        f"m = {str(marker)!r}\n"
+        "if os.path.exists(m):\n"
+        "    sys.exit(0)\n"
+        "open(m, 'w').close()\n"
+        "time.sleep(60)\n")
+    with pytest.raises(SystemExit) as ei:
+        bench._run_watchdog([sys.executable, str(stub)], retry_sleep=0.0,
+                            probe=True)
+    assert ei.value.code == 0
+    assert probes == [123.0, 123.0]   # gate ran per attempt, not once
+    # default: an explicit cmd (tests, train children) skips the gate
+    probes.clear()
+    stub.write_text("import sys; sys.exit(0)\n")
+    with pytest.raises(SystemExit):
+        bench._run_watchdog([sys.executable, str(stub)], retry_sleep=0.0)
+    assert probes == []
+
+
 def test_run_recon_demo_trained(tmp_path):
     """--demo-trained: hermetic checkpoint-restore + recon from the
     committed trained-tiny model; the mesh must be a real closed surface

@@ -83,32 +83,39 @@ def test_stage_missing_or_corrupt_is_retrain(tbf, tmp_path):
 
 
 def test_supervised_reexecs_under_watchdog(tbf, monkeypatch):
-    """--supervised hands the SAME argv (minus the flag) to bench's
-    progress-aware watchdog instead of training in-process."""
+    """--supervised re-builds the child argv from PARSED args (so argparse
+    prefix abbreviations like --super cannot leak through and nest a
+    second watchdog) and hands it to bench's progress-aware watchdog with
+    probe=True (the per-attempt tunnel gate) instead of training
+    in-process."""
     import sys
 
     sys.path.insert(0, REPO)
     import bench
 
     calls = {}
-    monkeypatch.setattr(bench, "_wait_for_tunnel",
-                        lambda *a, **k: calls.setdefault("probed", True))
 
-    def fake_watchdog(cmd=None, retry_sleep=30.0):
+    def fake_watchdog(cmd=None, retry_sleep=30.0, probe=None):
         calls["cmd"] = cmd
+        calls["probe"] = probe
         raise SystemExit(0)
 
     monkeypatch.setattr(bench, "_run_watchdog", fake_watchdog)
     monkeypatch.setattr(
         tbf, "train_flagship",
         lambda *a, **k: calls.setdefault("trained", True))
-    monkeypatch.setattr(sys, "argv", [
-        "train_bench_flagship.py", "--supervised", "--steps-fine", "7"])
-
-    with pytest.raises(SystemExit):
-        tbf.main()
-
-    assert calls.get("probed")
-    assert "trained" not in calls          # the parent never trains
-    assert "--supervised" not in calls["cmd"]    # child runs for real
-    assert calls["cmd"][-2:] == ["--steps-fine", "7"]
+    for flag in ("--supervised", "--super"):   # exact + prefix abbrev
+        calls.clear()
+        monkeypatch.setattr(sys, "argv", [
+            "train_bench_flagship.py", flag, "--steps-fine", "7"])
+        with pytest.raises(SystemExit):
+            tbf.main()
+        assert "trained" not in calls          # the parent never trains
+        assert calls["probe"] is True          # per-attempt tunnel gate
+        cmd = calls["cmd"]
+        # no supervised spelling (exact or abbreviated) survives into the
+        # child, so the child trains instead of nesting another watchdog
+        assert not any("--supervised".startswith(a) for a in cmd
+                       if a.startswith("--s") and len(a) >= 3)
+        i = cmd.index("--steps-fine")
+        assert cmd[i + 1] == "7"
