@@ -30,209 +30,33 @@ import time
 
 import numpy as np
 
-# Transient tunnel/backend failure signatures: the remote-compile link can
-# drop mid-request (BENCH_r02 died in jax.jit(model.init) on
-# "read body: response body closed before all bytes were read") — such
-# errors are environmental, not code faults, and the run must retry.
-_TRANSIENT = ("remote_compile", "response body", "INTERNAL", "UNAVAILABLE",
-              "DEADLINE_EXCEEDED", "Connection reset", "Socket closed")
+# Transient-error retry lives in the package (utils/retry.py); surface
+# loaders live in scripts/bench_surfaces.py.  Keep the historical names —
+# scripts (field_quality_study) and docs refer to bench._*_trained_field.
+from rgbd_pifuhd_tpu.utils.retry import (  # noqa: E402
+    is_transient as _is_transient,
+    run_with_retry,
+)
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def _is_transient(e: BaseException) -> bool:
-    s = f"{type(e).__name__}: {e}"
-    return any(t in s for t in _TRANSIENT)
-
-
-def run_with_retry(fn, attempts: int = 3, label: str = ""):
-    """Retry ``fn`` on transient backend/tunnel errors with a short pause."""
-    for k in range(attempts):
-        try:
-            return fn()
-        except Exception as e:  # noqa: BLE001 — filtered by _is_transient
-            if k + 1 >= attempts or not _is_transient(e):
-                raise
-            import sys
-            print(f"[bench] transient backend error in {label or 'step'} "
-                  f"(attempt {k + 1}/{attempts}): {e}", file=sys.stderr)
-            time.sleep(5.0 * (k + 1))
+def _surfaces():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench_surfaces", os.path.join(_REPO, "scripts",
+                                       "bench_surfaces.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def _flagship_trained_field(repo: str):
-    """Load (or regenerate) the trained FLAGSHIP checkpoint.
-
-    Returns ``(params, opt_model, data)`` — trained flagship params (f32 on
-    device), the checkpoint's embedded Options, and the capsule subject's
-    data dict at flagship load sizes — or None when no checkpoint exists
-    and in-bench regeneration is disabled/fails.
-
-    The checkpoint (~770 MB f16, scripts/train_bench_flagship.py) is too
-    large to commit; it lives in ``~/.cache/rgbd_pifuhd_tpu/flagship``.
-    When absent, the bench TRAINS it in-process at reduced step counts
-    (BENCH_TRAIN_FLAGSHIP=0 disables) — data and params stay device-
-    resident during training, so the slow tunnel link is not on the
-    training path.
-    """
-    import importlib.util
-    spec = importlib.util.spec_from_file_location(
-        "train_bench_flagship",
-        os.path.join(repo, "scripts", "train_bench_flagship.py"))
-    tbf = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(tbf)
-
-    ckpt_path = os.environ.get(
-        "RGBD_PIFUHD_FLAGSHIP_CKPT",
-        os.path.join(tbf.DEFAULT_OUT, "ckpt"))
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    dataroot = os.path.join(base, "rgbd_flagship_data")
-    if not os.path.exists(ckpt_path):
-        if os.environ.get("BENCH_TRAIN_FLAGSHIP", "1") != "1":
-            return None
-        import sys
-        print("[bench] no flagship checkpoint: training in-bench "
-              "(reduced steps)", file=sys.stderr)
-        try:
-            ckpt_path = tbf.train_flagship(
-                dataroot, os.path.dirname(ckpt_path) or ".",
-                steps_nml=200, steps_coarse=800, steps_fine=800,
-                log_every=100)
-        except Exception as e:  # noqa: BLE001 — fall back to tiny blend
-            if _is_transient(e):
-                raise
-            print(f"[bench] in-bench flagship training failed: {e}",
-                  file=sys.stderr)
-            return None
-
-    import jax
-    import jax.numpy as jnp
-    from rgbd_pifuhd_tpu.data.datasets import TrainDataset
-    from rgbd_pifuhd_tpu.utils import checkpoint as ckpt_mod
-    from rgbd_pifuhd_tpu.utils.options import Options
-
-    import sys
-    state = ckpt_mod.load_checkpoint(ckpt_path)
-    opt_model = Options.from_dict(state["opt"])
-    # Upload f16 (half the bytes over the tunnel), cast to f32 on device —
-    # CHUNKED with a forced drain + heartbeat every ~64 MB: the one-shot
-    # tree upload is a multi-minute silent window during which a tunnel
-    # flap looks identical to normal progress (observed 2026-08-19: an
-    # upload stalled at ~2 s CPU / 18 min wall); with heartbeats the
-    # watchdog's silence rule kills a real stall in minutes instead.
-    total_mb = sum(getattr(x, "nbytes", 0)
-                   for x in jax.tree.leaves(state["params"])) / 1e6
-    print(f"[bench] uploading flagship checkpoint ({total_mb:.0f} MB f16 "
-          "over the tunnel — minutes)", file=sys.stderr)
-    leaves, treedef = jax.tree.flatten(state["params"])
-    up, acc, done_mb = [], 0.0, 0.0
-    for x in leaves:
-        d = jnp.asarray(x)
-        if getattr(x, "dtype", None) == np.float16:
-            d = d.astype(jnp.float32)
-        up.append(d)
-        acc += getattr(x, "nbytes", 0)
-        if acc > 64e6 and d.size:
-            float(d.ravel()[0])          # drain the async upload queue
-            done_mb += acc / 1e6
-            acc = 0.0
-            print(f"[bench] ... {done_mb:.0f}/{total_mb:.0f} MB uploaded",
-                  file=sys.stderr)
-    params = jax.tree.unflatten(treedef, up)
-
-    tbf.ensure_flagship_dataset(dataroot)
-    import dataclasses
-    ds = TrainDataset(dataclasses.replace(opt_model, dataroot=dataroot),
-                      load_mesh=False, seed=0)
-    idx = next(i for i in range(len(ds))
-               if "capsule" in os.path.basename(ds.img_files[i]))
-    item = ds[idx]
-    data = {"img": jnp.asarray(item["img"]),
-            "img_512": jnp.asarray(item["img_512"])[None],
-            "calib": jnp.asarray(item["calib"], jnp.float32)}
-    return params, opt_model, data
+    return _surfaces().flagship_trained_field(repo)
 
 
 def _tiny_trained_field(repo: str):
-    """Load the committed trained-tiny checkpoint and the capsule subject.
-
-    Returns ``(tiny_occ, data)`` — a world-space occupancy closure over the
-    TRAINED tiny two-level model (scripts/train_bench_tiny.py) plus the
-    flagship-resolution data dict of the same synthetic capsule subject —
-    or None when the checkpoint is absent (analytic-capsule fallback).
-    Both views share the subject's world frame, so the trained field and
-    the flagship lattice align exactly.
-    """
-    ckpt_path = os.path.join(repo, "assets", "bench_tiny", "ckpt")
-    if not os.path.exists(ckpt_path):
-        return None
-    import importlib.util
-    spec = importlib.util.spec_from_file_location(
-        "train_bench_tiny",
-        os.path.join(repo, "scripts", "train_bench_tiny.py"))
-    tbt = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(tbt)
-
-    import jax.numpy as jnp
-    from rgbd_pifuhd_tpu.data.datasets import TrainDataset
-    from rgbd_pifuhd_tpu.data.synthetic import generate_synthetic_dataset
-    from rgbd_pifuhd_tpu.models import MultiResPIFu
-    from rgbd_pifuhd_tpu.utils import checkpoint as ckpt_mod
-    from rgbd_pifuhd_tpu.utils.options import Options
-
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    tiny_root = tbt.ensure_tiny_dataset(
-        os.path.join(base, "rgbd_bench_tiny_data"))
-    import dataclasses
-    state = ckpt_mod.load_checkpoint(ckpt_path)
-    t_opt = Options.from_dict(state["opt"])
-    # bf16 activations for the tiny field's inference (same as the
-    # flagship path; the 0.5 level set is insensitive at this precision)
-    cfg_mr = dataclasses.replace(t_opt.netMR, compute_dtype="bfloat16")
-    cfg_g = dataclasses.replace(t_opt.netG, compute_dtype="bfloat16")
-    tiny_model = MultiResPIFu(cfg=cfg_mr, cfg_global=cfg_g)
-    import jax
-    import numpy as _np
-    tiny_params = jax.tree.map(  # stored float16 -> compute float32
-        lambda x: _np.asarray(x, _np.float32)
-        if getattr(x, "dtype", None) == _np.float16 else x,
-        state["params"])
-    item = TrainDataset(tbt.tiny_options(tiny_root), load_mesh=False,
-                        seed=0)[0]
-    timg = jnp.asarray(item["img_512"])[None]
-    tcalib = jnp.asarray(item["calib"], jnp.float32)
-    tg = tiny_model.apply(tiny_params, timg, last_only=True,
-                          method=MultiResPIFu.filter_global)
-    tl = tiny_model.apply(tiny_params, timg[None], tg, last_only=True,
-                          method=MultiResPIFu.filter_local)
-
-    # The trained field is only meaningful inside its training sampling
-    # box (TRAIN_B_MIN/B_MAX — outside it supervision is zero and a
-    # single-view PIFu extrudes along z); the reference reconstructs
-    # inside the same box (EvalDataset B_MIN/B_MAX, reconstruction
-    # create_grid), so the bench windows the field identically.
-    bmin = jnp.asarray(item["b_min"], jnp.float32)
-    bmax = jnp.asarray(item["b_max"], jnp.float32)
-
-    def tiny_occ(world_pts):
-        out = tiny_model.apply(
-            tiny_params, tl, tg, world_pts[None, None],
-            tcalib[None, None], tcalib[None],
-            method=MultiResPIFu.query)
-        inside = jnp.all((world_pts >= bmin) & (world_pts <= bmax),
-                         axis=-1)
-        return jnp.where(inside, out.preds[0, :, 0], 0.0)
-
-    # flagship-resolution images of the SAME subject (1024^2 render: the
-    # capsule fills the NDC box like a real full-frame subject)
-    flag_root = os.path.join(base, "rgbd_bench_flag_data")
-    if not os.path.isdir(os.path.join(flag_root, "RENDER", "capsule")):
-        generate_synthetic_dataset(flag_root, subjects=("capsule",),
-                                   size=1024, load_size=1024, seed=0)
-    fopt = Options(dataroot=flag_root, load_size=1024, load_size_big=1024,
-                   load_size_local=512, num_sample_inout=8, sigma=8.0)
-    fitem = TrainDataset(fopt, load_mesh=False, seed=0)[0]
-    data = {"img": jnp.asarray(fitem["img"]),
-            "img_512": jnp.asarray(fitem["img_512"])[None],
-            "calib": jnp.asarray(fitem["calib"], jnp.float32)}
-    return tiny_occ, data, (cfg_mr, cfg_g)
+    return _surfaces().tiny_trained_field(repo)
 
 
 def main():
@@ -592,186 +416,37 @@ def _run_inner():
         main()
 
 
+# ---- supervision: rgbd_pifuhd_tpu.utils.watchdog owns the machinery
+# (tunnel probes, silence/deadline/hard-cap kill rules, retries) so a
+# regression in this measurement script can never take the supervisor
+# down with it.  These shims keep the historical bench-level API that
+# scripts and tests call.
+
 def _tunnel_alive(timeout_s: float = 150.0) -> bool:
-    """True iff a tiny device readback completes within ``timeout_s``.
-
-    The observed failure mode (2026-08-18, again 2026-08-19) is the tunnel
-    HANGING outright for hours — even a 128x128 matmul readback blocks
-    indefinitely.  A hung attempt burns its whole 2400 s deadline learning
-    nothing, so the watchdog probes first with a disposable subprocess
-    (SIGKILL always lands; an in-process probe could not be cancelled).
-    """
-    import subprocess
-    import sys
-
-    code = ("import jax, jax.numpy as jnp; "
-            "x = jnp.ones((128, 128)); print(float((x @ x).sum()))")
-    child = subprocess.Popen(
-        [sys.executable, "-c", code], stdout=subprocess.DEVNULL,
-        stderr=subprocess.DEVNULL, start_new_session=True)
-    try:
-        return child.wait(timeout=timeout_s) == 0
-    except subprocess.TimeoutExpired:
-        import signal
-        try:
-            os.killpg(child.pid, signal.SIGKILL)
-        except OSError:
-            child.kill()
-        child.wait()
-        return False
+    from rgbd_pifuhd_tpu.utils import watchdog
+    return watchdog.tunnel_alive(timeout_s)
 
 
 def _wait_for_tunnel(budget_s: float, probe_timeout_s: float = 150.0,
                      sleep_s: float = 180.0) -> None:
-    """Block until the tunnel answers a probe, up to ``budget_s``.
-
-    On budget exhaustion the watchdog proceeds anyway — the per-attempt
-    deadline still bounds a hung run; this just stops a known-hung tunnel
-    from burning both attempts back-to-back.
-    """
-    import sys
-
-    t0 = time.time()
-    while not _tunnel_alive(probe_timeout_s):
-        waited = time.time() - t0
-        if waited + sleep_s > budget_s:
-            print(f"[bench] tunnel probe still hanging after {waited:.0f}s;"
-                  " proceeding under the attempt deadline", file=sys.stderr)
-            return
-        print(f"[bench] tunnel hung (tiny readback > {probe_timeout_s:.0f}"
-              f"s); retrying probe in {sleep_s:.0f}s", file=sys.stderr)
-        time.sleep(sleep_s)
-
-
-def _default_deadline_s() -> float:
-    """Per-attempt watchdog deadline: 2400 s covers a bench run against an
-    existing flagship checkpoint; when the checkpoint must be TRAINED
-    in-bench (~1800 s on this chip before the first timed pass), a 2400 s
-    attempt is guaranteed to die mid-bench and waste its training on the
-    retry, so the deadline grows to 4200 s.  BENCH_DEADLINE_S overrides."""
-    ckpt = os.environ.get(
-        "RGBD_PIFUHD_FLAGSHIP_CKPT",
-        os.path.expanduser(  # keep in sync with train_bench_flagship.DEFAULT_OUT
-            "~/.cache/rgbd_pifuhd_tpu/flagship/ckpt"))
-    trains = (not os.path.exists(ckpt)
-              and os.environ.get("BENCH_TRAIN_FLAGSHIP", "1") == "1")
-    return 4200.0 if trains else 2400.0
-
-
-def _pump(stream, sink, stamp):
-    """Forward child output line-by-line, stamping last-activity time."""
-    for line in iter(stream.readline, ""):
-        sink.write(line)
-        sink.flush()
-        stamp[0] = time.time()
-    stream.close()
+    from rgbd_pifuhd_tpu.utils import watchdog
+    watchdog.wait_for_tunnel(budget_s, probe_timeout_s, sleep_s)
 
 
 def _run_watchdog(cmd=None, retry_sleep=30.0, probe=None):
-    """Run the bench in a child process under PROGRESS-AWARE supervision.
-
-    Retries (error-filtered) catch tunnel failures that RAISE; they cannot
-    catch the tunnel simply HANGING — a blocked jax call never returns to
-    Python, so no signal handler or timeout fires in-process (observed
-    2026-08-18: a 256x256 matmul readback blocked >240 s).
-
-    A fixed total deadline turned out to be the WRONG kill rule on its
-    own: on 2026-08-19 the tunnel flapped on a ~10-60 min cadence, and a
-    connection ESTABLISHED before a flap keeps working — the deadline
-    killed a healthy attempt mid-run, and the replacement process then
-    blocked on the flapped tunnel.  The child's stdout/stderr are
-    therefore piped through (the driver still reads the JSON line from
-    parent stdout) and the kill rule is SILENCE: no output line for
-    ``BENCH_SILENCE_S`` (default min(900, deadline)) means a real hang —
-    the child emits heartbeats at every phase.  The total deadline
-    (``BENCH_DEADLINE_S``; auto 2400 s / 4200 s-when-training) remains as
-    an absolute backstop.  On kill the whole process group dies and the
-    run is retried (3 attempts; training resumes from stage
-    checkpoints, a trained checkpoint is reused).
-    ``cmd`` overrides the child command (tests; tunnel-touching callers
-    like train_bench_flagship --supervised pass ``probe=True`` to keep
-    the per-attempt probe gate they would otherwise lose).
-    """
-    import subprocess
+    """Supervise a child command (default: this bench) — see
+    rgbd_pifuhd_tpu/utils/watchdog.py for the kill rules and their field
+    history.  ``probe`` defaults to True only for the real bench child
+    (cmd=None), which talks to the tunnel; explicit-cmd callers that do
+    too (train_bench_flagship --supervised) pass probe=True."""
     import sys
-    import threading
+    from rgbd_pifuhd_tpu.utils import watchdog
 
-    probe_budget = float(os.environ.get("BENCH_PROBE_WAIT_S", "1500"))
-    env = dict(os.environ, BENCH_CHILD="1", PYTHONUNBUFFERED="1")
     if probe is None:
-        probe = cmd is None  # the real bench child talks to the tunnel
+        probe = cmd is None
     if cmd is None:
         cmd = [sys.executable, os.path.abspath(__file__)]
-    attempts = 3
-    for attempt in range(1, attempts + 1):
-        if probe and probe_budget > 0:
-            _wait_for_tunnel(probe_budget)
-        # re-evaluated per attempt: attempt 1 may have finished training
-        # and saved the checkpoint before dying mid-bench — attempt 2
-        # then needs only the tighter no-training deadline
-        deadline = float(os.environ.get("BENCH_DEADLINE_S", "0")) \
-            or (_default_deadline_s() if probe else 2400.0)
-        silence = float(os.environ.get("BENCH_SILENCE_S", "0")) \
-            or min(900.0, deadline)
-        # A PROGRESSING run outlives the deadline (2026-08-20: a crawling
-        # tunnel stretched the timed rounds to ~45 s each and the fixed
-        # deadline killed the run seconds before its final JSON; the
-        # retry then re-uploaded 769 MB over the same crawling tunnel).
-        # Past the deadline the kill needs BOTH stale output (>300 s) —
-        # fresh heartbeats mean the run is slow, not hung — and the hard
-        # cap bounds even a heartbeat-emitting run absolutely.
-        stale = min(300.0, silence)
-        hard_cap = float(os.environ.get("BENCH_HARD_CAP_S", "0")) \
-            or 3.0 * deadline
-        child = subprocess.Popen(cmd, env=env, start_new_session=True,
-                                 stdout=subprocess.PIPE,
-                                 stderr=subprocess.PIPE, text=True)
-        stamp = [time.time()]
-        t0 = time.time()
-        pumps = [
-            threading.Thread(target=_pump, daemon=True,
-                             args=(child.stdout, sys.stdout, stamp)),
-            threading.Thread(target=_pump, daemon=True,
-                             args=(child.stderr, sys.stderr, stamp)),
-        ]
-        for t in pumps:
-            t.start()
-        timed_out = None
-        while child.poll() is None:
-            now = time.time()
-            if now - stamp[0] > silence:
-                timed_out = f"silent for {silence:.0f}s"
-                break
-            if now - t0 > deadline and now - stamp[0] > stale:
-                timed_out = (f"no result after {deadline:.0f}s with output "
-                             f"stale for {now - stamp[0]:.0f}s")
-                break
-            if now - t0 > hard_cap:
-                timed_out = f"no result after hard cap {hard_cap:.0f}s"
-                break
-            time.sleep(1.0)
-        if timed_out is not None:
-            import signal
-            print(f"[bench] {timed_out} "
-                  f"(attempt {attempt}/{attempts}): backend hang — "
-                  f"killing run",
-                  file=sys.stderr)
-            try:
-                os.killpg(child.pid, signal.SIGKILL)
-            except OSError:
-                child.kill()
-            child.wait()
-            for t in pumps:
-                t.join(timeout=10.0)
-            if attempt == attempts:
-                raise SystemExit(
-                    "bench: backend hung through all attempts") from None
-            time.sleep(retry_sleep)
-            continue
-        rc = child.wait()
-        for t in pumps:
-            t.join(timeout=10.0)
-        raise SystemExit(rc)
+    watchdog.run_watchdog(cmd, retry_sleep=retry_sleep, probe=probe)
 
 
 if __name__ == "__main__":

@@ -1,25 +1,29 @@
-"""Field-phase component roofline: where does the 127 ns/pt go?
+"""Field-phase component roofline: where does the ~127 ns/pt go?
 
 Times each component of the two-level query chain at FLAGSHIP inference
 shapes (coarse feat 128x128x256, fine feat 256x256x16, mlp_norm='group',
-chunked points) on the real chip, so kernel effort (VERDICT r4 item 4 —
-the fused gather+MLP Pallas kernel) lands where the time actually is:
+8192-pt chunks) on the real chip, so kernel effort (VERDICT r4 item 4 —
+the fused gather+MLP Pallas kernel) lands where the time actually is.
 
-    proj        projection + depth-normalize (elementwise)
-    gather_g    coarse 4-tap bilinear gather (geom.index, C=256)
-    gather_l    fine 4-tap bilinear gather (geom.index, C=16)
-    mlp_g       coarse MLP chain [N,257]->1 with GroupNorm
-    mlp_g_nonorm  same chain, mlp_norm='none' (isolates the GN cost)
-    mlp_l       fine MLP chain [N,272]->1 with GroupNorm
-    query       the full fused XLA query (MultiResPIFu.query, last_only)
+Methodology — the tunnel adds ~25 ms of dispatch/readback RTT per call,
+swamping any single-call timing (first version of this script measured
+every component at an identical ~3100 ns/pt = pure RTT).  So each
+component is SELF-CHAINED through a lax.scan carry (defeats CSE) and run
+at two iteration counts; the SLOPE (t_hi - t_lo) / (iters_hi - iters_lo)
+is the pure per-iteration device time, RTT cancelled.  Scalar readback
+ends every timing (block_until_ready does not sync on this backend).
 
-Each timing jits the component alone, warms it, then takes the min of
-``--reps`` timed calls ending in a scalar readback (block_until_ready does
-not synchronize on the tunneled axon backend).  Components are timed on
-the SAME chunk size the reconstructor uses (8192).
+Components:
+    proj          projection + depth-normalize + mask (elementwise)
+    gather_g      coarse 4-tap bilinear gather (geom.index, C=256)
+    gather_l      fine 4-tap bilinear gather (geom.index, C=16)
+    mlp_g         coarse MLP chain [N,257]->1, GroupNorm
+    mlp_g_nonorm  same chain, mlp_norm='none' (isolates GN cost)
+    mlp_l         fine MLP chain [N,272]->1, GroupNorm
+    query         full two-level chain (what the reconstructor jits)
 
-Output: one JSON line with ns/pt per component.  Reference hot path this
-maps: /root/reference/mesh_util.py:98-114 + MLP.py:12-75.
+Reference hot path this maps: /root/reference/mesh_util.py:98-114 +
+MLP.py:12-75.  Output: one JSON line, ns/pt per component.
 """
 
 from __future__ import annotations
@@ -35,27 +39,40 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def time_fn(fn, *args, reps=8):
-    """min-of-reps wall time of jitted fn; scalar-readback synchronized."""
+def scan_slope_time(step_fn, init, iters_lo=4, iters_hi=36, reps=5):
+    """Per-iteration seconds of ``step_fn`` (carry -> carry), RTT-free.
+
+    Jits lax.scan at two lengths; returns the min-over-reps slope.
+    """
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
-    jfn = jax.jit(fn)
-    out = jfn(*args)
-    float(jnp.asarray(out).ravel()[0].astype(jnp.float32))  # warm + compile
-    times = []
-    for _ in range(reps):
-        t0 = time.time()
-        out = jfn(*args)
-        float(jnp.asarray(out).ravel()[0].astype(jnp.float32))
-        times.append(time.time() - t0)
-    return float(np.min(times))
+    def run(n):
+        def body(c, _):
+            return step_fn(c), None
+
+        f = jax.jit(lambda c: jax.tree.map(
+            lambda a: a.astype(jnp.float32).ravel()[0],
+            lax.scan(body, c, None, length=n)[0]))
+        out = f(init)
+        jax.tree.map(float, out)  # warm/compile
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            out = f(init)
+            jax.tree.map(float, out)
+            ts.append(time.time() - t0)
+        return float(np.min(ts))
+
+    t_lo, t_hi = run(iters_lo), run(iters_hi)
+    return max(t_hi - t_lo, 1e-12) / (iters_hi - iters_lo)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunk", type=int, default=8192)
-    ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
 
     import jax
@@ -74,43 +91,45 @@ def main():
     pts = jnp.asarray(rng.uniform(-0.9, 0.9, (1, N, 3)).astype(f32))
     calib = jnp.eye(4, dtype=jnp.float32)[None]
 
-    res = {"chunk": N, "device": str(jax.devices()[0])}
+    res = {"chunk": N, "device": str(jax.devices()[0]),
+           "method": "lax.scan slope (RTT-cancelled)"}
 
     def ns_pt(secs):
-        return round(secs / N * 1e9, 1)
+        return round(secs / N * 1e9, 2)
 
-    # ---- projection + depth normalize
-    def proj(p, c):
-        xyz = geom.orthogonal(p, c)
-        return geom.depth_normalize(xyz) + geom.in_bounds_mask(xyz)
+    kw = dict(reps=args.reps)
 
-    res["proj_ns_pt"] = ns_pt(time_fn(proj, pts, calib, reps=args.reps))
+    # ---- projection + depth normalize + mask (carry: points)
+    def proj_step(p):
+        xyz = geom.orthogonal(p, calib)
+        return p + 1e-7 * (geom.depth_normalize(xyz)
+                           + geom.in_bounds_mask(xyz))
 
-    # ---- gathers
-    res["gather_g_ns_pt"] = ns_pt(
-        time_fn(lambda f, u: geom.index(f, u).sum(), feat_g, uv,
-                reps=args.reps))
-    res["gather_l_ns_pt"] = ns_pt(
-        time_fn(lambda f, u: geom.index(f, u).sum(), feat_l, uv,
-                reps=args.reps))
+    res["proj_ns_pt"] = ns_pt(scan_slope_time(proj_step, pts, **kw))
 
-    # ---- MLP chains (flagship dims), with and without GroupNorm
-    def mlp_time(dims, res_layers, norm, cin):
-        m = PointMLP(filter_channels=dims, merge_layer=2,
+    # ---- gathers (carry: uv, nudged by the gathered values)
+    res["gather_g_ns_pt"] = ns_pt(scan_slope_time(
+        lambda u: u + 1e-9 * geom.index(feat_g, u)[..., :2], uv, **kw))
+    res["gather_l_ns_pt"] = ns_pt(scan_slope_time(
+        lambda u: u + 1e-9 * geom.index(feat_l, u)[..., :2], uv, **kw))
+
+    # ---- MLP chains (carry: input features, nudged by pred)
+    def mlp_slope(dims, res_layers, norm, cin, merge):
+        m = PointMLP(filter_channels=dims, merge_layer=merge,
                      res_layers=res_layers, norm=norm, last_op="sigmoid")
         x = jnp.asarray(rng.standard_normal((1, N, cin)).astype(f32))
         params = m.init(jax.random.PRNGKey(0), x)
-        return time_fn(lambda p, xx: m.apply(p, xx)[0].sum(), params, x,
-                       reps=args.reps)
+        return scan_slope_time(
+            lambda c: c + 1e-9 * m.apply(params, c)[0], x, **kw)
 
     dims_g = (257, 1024, 512, 256, 128, 1)
     dims_l = (272, 512, 256, 128, 1)
-    res["mlp_g_ns_pt"] = ns_pt(mlp_time(dims_g, (2, 3, 4), "group", 257))
-    res["mlp_g_nonorm_ns_pt"] = ns_pt(mlp_time(dims_g, (2, 3, 4), "none", 257))
-    res["mlp_l_ns_pt"] = ns_pt(mlp_time(dims_l, (1, 2), "group", 272))
+    res["mlp_g_ns_pt"] = ns_pt(mlp_slope(dims_g, (2, 3, 4), "group", 257, 2))
+    res["mlp_g_nonorm_ns_pt"] = ns_pt(
+        mlp_slope(dims_g, (2, 3, 4), "none", 257, 2))
+    res["mlp_l_ns_pt"] = ns_pt(mlp_slope(dims_l, (1, 2), "group", 272, -1))
 
-    # ---- full two-level query chain (what the reconstructor jits),
-    # assembled from the same pieces so no model init is needed
+    # ---- full two-level query chain (carry: points)
     mg = PointMLP(filter_channels=dims_g, merge_layer=2, res_layers=(2, 3, 4),
                   norm="group", last_op="sigmoid")
     ml = PointMLP(filter_channels=dims_l, merge_layer=-1, res_layers=(1, 2),
@@ -120,27 +139,36 @@ def main():
     pg = mg.init(jax.random.PRNGKey(0), xg)
     plp = ml.init(jax.random.PRNGKey(1), xl)
 
-    def full_query(pg, plp, points, calib, fg, fl):
+    def query_step(points):
         xyz = geom.orthogonal(points, calib)
         sp = geom.depth_normalize(xyz)
         mask = geom.in_bounds_mask(xyz, dims=3)
-        f_g = geom.index(fg, xyz[..., :2])
-        pred_g, phi = mg.apply(pg, jnp.concatenate([f_g, sp], axis=-1))
-        f_l = geom.index(fl, xyz[..., :2])
+        f_g = geom.index(feat_g, xyz[..., :2])
+        _, phi = mg.apply(pg, jnp.concatenate([f_g, sp], axis=-1))
+        f_l = geom.index(feat_l, xyz[..., :2])
         pred_l, _ = ml.apply(plp, jnp.concatenate([f_l, phi], axis=-1))
-        return (mask * pred_l).sum()
+        return points + 1e-7 * (mask * pred_l)
 
-    res["query_ns_pt"] = ns_pt(
-        time_fn(full_query, pg, plp, pts, calib, feat_g, feat_l,
-                reps=args.reps))
+    res["query_ns_pt"] = ns_pt(scan_slope_time(query_step, pts, **kw))
 
-    # derived: unexplained overhead vs sum of parts
     parts = (res["proj_ns_pt"] + res["gather_g_ns_pt"]
              + res["gather_l_ns_pt"] + res["mlp_g_ns_pt"]
              + res["mlp_l_ns_pt"])
-    res["sum_parts_ns_pt"] = round(parts, 1)
+    res["sum_parts_ns_pt"] = round(parts, 2)
     res["gn_cost_ns_pt"] = round(
-        res["mlp_g_ns_pt"] - res["mlp_g_nonorm_ns_pt"], 1)
+        res["mlp_g_ns_pt"] - res["mlp_g_nonorm_ns_pt"], 2)
+    # MFU of the coarse MLP alone (the flop-dominant component)
+    import types
+
+    from rgbd_pifuhd_tpu.utils.flops import (
+        device_peak_flops, mlp_flops_per_point)
+    per_pt_flops = mlp_flops_per_point(types.SimpleNamespace(
+        mlp_dim=dims_g, mlp_res_layers=(2, 3, 4)))
+    if per_pt_flops:
+        peak = device_peak_flops(jax.devices()[0])
+        if peak:
+            res["mlp_g_mfu"] = round(
+                per_pt_flops / (res["mlp_g_ns_pt"] * 1e-9) / peak, 4)
     print(json.dumps(res))
 
 
