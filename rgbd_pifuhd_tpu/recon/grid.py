@@ -546,6 +546,57 @@ def _three_phase_p3(query_fn, res, K2, cells_per_chunk, pack_bits,
     return refined[:K2]
 
 
+@partial(jax.jit, static_argnames=("query_fn", "res", "pack_bits",
+                                   "band_scale"))
+def three_phase_p3_band(query_fn, res, pack_bits, band_scale, calib_inv,
+                        bases, *query_args):
+    """ONE band of phase-3 dense 4^3 evaluation (``bases`` [B, 3]).
+
+    The banded variant of ``_three_phase_p3``'s loop body, dispatched per
+    band at the Python level so the host can PULL band b while band b+1
+    computes — the streamed reconstruct path
+    (pipeline._reconstruct_streamed) marches band-b cells as they arrive
+    instead of waiting for the full packed transfer.  One compile total:
+    every band shares the static band size.
+    """
+    half = 4
+    f3 = half ** 3
+    oi2 = jnp.arange(half)
+    qx, qy, qz = jnp.meshgrid(oi2, oi2, oi2, indexing="ij")
+    fine_offsets = jnp.stack(
+        [qx.reshape(-1), qy.reshape(-1), qz.reshape(-1)], axis=-1)
+    B = bases.shape[0]
+    pts = (bases[:, None, :] + fine_offsets[None]).reshape(-1, 3)
+    occ = query_fn(
+        _idx_to_world(pts, res, calib_inv), *query_args
+    ).reshape(B, f3)
+    q = _quantize_band(occ, band_scale, pack_bits)
+    per_byte = 8 // pack_bits
+    if per_byte == 2:
+        q = q.reshape(B, f3 // 2, 2)
+        q = q[:, :, 0] | (q[:, :, 1] << 4)
+    return q
+
+
+@jax.jit
+def pack_sparse3_head(corner_q, top8, sub_q, top4, diag):
+    """``pack_sparse3`` without the refined blocks: the head blob the
+    streamed path pulls FIRST (scan inputs + escalation diagnostics)
+    while phase-3 bands are still computing."""
+    data = jnp.concatenate([corner_q.reshape(-1), sub_q.reshape(-1)])
+    ids = jnp.concatenate(
+        [top8.astype(jnp.int32), top4.astype(jnp.int32)])
+    dvec = jnp.stack([
+        diag["kth_activity"].astype(jnp.float32),
+        diag["n_active"].astype(jnp.float32),
+        diag["budget_cells"].astype(jnp.float32),
+        diag["kth_subactivity"].astype(jnp.float32),
+        diag["n_active_subcells"].astype(jnp.float32),
+        diag["budget_subcells"].astype(jnp.float32),
+    ])
+    return data, ids, dvec
+
+
 @jax.jit
 def pack_sparse3(corner_q, top8, sub_q, top4, refined, diag):
     """Pack the three-phase result into THREE device arrays.

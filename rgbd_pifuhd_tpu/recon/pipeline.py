@@ -664,6 +664,246 @@ class Reconstructor:
         """fd-normal coloring (reference reconstruction.py:60-70)."""
         return self.color_by_normals_start(verts, feats, calib)()
 
+    def _reconstruct_streamed(self, res: int, calib, feats):
+        """Field evaluation, transfer, marching and color dispatch, all
+        OVERLAPPED band-by-band.
+
+        The non-streamed path serializes [device eval] -> [full packed
+        transfer] -> [host scan] -> [marching slabs + color dispatch];
+        on this host the transfer and the marching are each hundreds of
+        ms.  Here phase 3 (the bulk of both the evaluation and the
+        transfer) is dispatched as BANDS of sub-cells
+        (grid.three_phase_p3_band): while band b+1 computes on device, a
+        background thread pulls band b into a preallocated refined
+        buffer, and the main thread marches every scan-cell whose data
+        (its own + 26 neighbors', conservatively) is already present —
+        with the same per-group fd-normal color dispatch as
+        ``_extract_and_color_overlap``.  Cell order therefore differs
+        from the one-shot path, but the native session's global edge
+        dedup makes the output the same mesh up to index permutation
+        (pinned by tests/test_streamed_recon.py's canonical compare).
+
+        Escalation diagnostics ride the HEAD blob (corner+sub lattices +
+        ids, grid.pack_sparse3_head), pulled before any marching: on
+        budget overflow the attempt is abandoned and re-run with doubled
+        budgets, exactly like ``evaluate_field``.
+
+        Returns ``(verts, faces, job, field)``; ``field`` feeds callers
+        that need the raw arrays afterwards.
+        """
+        import threading
+
+        from . import grid as grid_mod
+        from .marching import IncrementalMarcher3
+
+        opt = self.opt
+        factor = 8
+        n = res // factor
+        calib_j = jnp.asarray(calib, jnp.float32)
+        calib_inv = jnp.linalg.inv(calib_j)
+        l_feats, g_feats = feats
+        esc = self._esc_budgets.setdefault(res, {})
+        budget = esc.get("cells") or min(
+            getattr(opt, "num_refine_cells", 12288), n ** 3)
+        sub_budget = esc.get("subcells") or min(
+            getattr(opt, "num_refine_subcells", 32768), budget * 8)
+        auto = getattr(opt, "auto_escalate_budget", True)
+
+        while True:
+            K1 = min(budget, n ** 3)
+            K2 = min(sub_budget, K1 * 8)
+            corner_q, top8, cell_base, d1 = grid_mod._three_phase_p1(
+                self._query, res, factor, K1, 4, 4.0, calib_inv,
+                self.params, l_feats, g_feats, calib_j)
+            sub_q, top4, sub_base, d2 = grid_mod._three_phase_p2(
+                self._query, res, factor, K2, 4, 4.0, calib_inv,
+                cell_base, self.params, l_feats, g_feats, calib_j)
+            band_sz = min(4096, K2)
+            n_bands = -(-K2 // band_sz)
+            K2_pad = n_bands * band_sz
+            sub_base_p = jnp.concatenate(
+                [sub_base, jnp.broadcast_to(
+                    sub_base[-1:], (K2_pad - K2, 3))], axis=0) \
+                if K2_pad != K2 else sub_base
+            bands_dev = [
+                grid_mod.three_phase_p3_band(
+                    self._query, res, 4, 4.0, calib_inv,
+                    sub_base_p[b * band_sz:(b + 1) * band_sz],
+                    self.params, l_feats, g_feats, calib_j)
+                for b in range(n_bands)
+            ]
+            head_dev, ids_dev, dvec_dev = grid_mod.pack_sparse3_head(
+                corner_q, top8, sub_q, top4, {**d1, **d2})
+            dvec = np.asarray(dvec_dev)
+            d = {"kth_activity": float(dvec[0]),
+                 "n_active": int(dvec[1]),
+                 "budget_cells": int(dvec[2]),
+                 "kth_subactivity": float(dvec[3]),
+                 "n_active_subcells": int(dvec[4]),
+                 "budget_subcells": int(dvec[5])}
+            d["overflow_cells"] = max(0, d["n_active"] - d["budget_cells"])
+            d["overflow_subcells"] = max(
+                0, d["n_active_subcells"] - d["budget_subcells"])
+            if not auto:
+                break
+            grew = False
+            while d["overflow_cells"] > 0 and budget < n ** 3:
+                budget = min(budget * 2, n ** 3)
+                grew = True
+                if budget > d["n_active"]:
+                    break
+            cap = budget * 8
+            while d["overflow_subcells"] > 0 and sub_budget < cap:
+                sub_budget = min(sub_budget * 2, cap)
+                grew = True
+                if sub_budget > d["n_active_subcells"]:
+                    break
+            if not grew:
+                break
+            print(f"[recon] escalating refinement budget: "
+                  f"cells {d['budget_cells']}->{budget}, "
+                  f"sub-cells {d['budget_subcells']}->{sub_budget} "
+                  f"(active: {d['n_active']} cells, "
+                  f"{d['n_active_subcells']} sub-cells)")
+            esc["cells"], esc["subcells"] = budget, sub_budget
+        self._check_budget(d)
+
+        # ---- head transfer + host scan (bands compute meanwhile)
+        head = np.asarray(head_dev)
+        ids = np.asarray(ids_dev)
+        n1 = n + 1
+        n_corner = n1 ** 3
+        corner_h = head[:n_corner]
+        sub_q_h = head[n_corner:].reshape(K1, 27)
+        top8_h, top4_h = ids[:K1], ids[K1:]
+        cells, _marks = sparse_scan_cells(corner_h, top8_h, res,
+                                          factor=factor)
+
+        # ---- per-cell readiness: the last band any of the cell's OWN
+        # sub-cells lives in, dilated over the 26 neighbors (the marcher
+        # reads adjacent cells' blocks for shared boundary values)
+        sub_band = (np.arange(K2) // band_sz).astype(np.int32)
+        k1_pos = top4_h // 8
+        cell_band = np.full(K1, -1, np.int32)
+        np.maximum.at(cell_band, k1_pos, sub_band)
+        vol = np.full(n ** 3, -1, np.int32)
+        vol[top8_h] = cell_band
+        vol3 = vol.reshape(n, n, n)
+        padv = np.pad(vol3, 1, constant_values=-1)
+        ready3 = vol3.copy()
+        for dx in (0, 1, 2):
+            for dy in (0, 1, 2):
+                for dz in (0, 1, 2):
+                    ready3 = np.maximum(
+                        ready3, padv[dx:dx + n, dy:dy + n, dz:dz + n])
+        ci = cells // factor
+        cell_ready = ready3[ci[:, 0], ci[:, 1], ci[:, 2]]
+        order = np.argsort(cell_ready, kind="stable")
+        cells_sorted = cells[order]
+        ready_sorted = cell_ready[order]
+        group_end = np.searchsorted(
+            ready_sorted, np.arange(n_bands), side="right")
+
+        # ---- stream: background pull fills the refined buffer in band
+        # order; main thread marches groups as their bands land
+        packed_w = (factor // 2) ** 3 // 2
+        refined_np = np.zeros((K2, packed_w), np.uint8)
+        landed = [threading.Event() for _ in range(n_bands)]
+        holder: dict[str, BaseException] = {}
+
+        def _pull():
+            try:
+                for b, dev in enumerate(bands_dev):
+                    arr = np.asarray(dev)
+                    s = b * band_sz
+                    e = min(K2, s + band_sz)
+                    refined_np[s:e] = arr[: e - s]
+                    landed[b].set()
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                holder["err"] = e
+                for ev in landed:
+                    ev.set()
+
+        puller = threading.Thread(target=_pull)
+        puller.start()
+
+        trans_mat = self._grid_to_world_mat(np.asarray(calib), res)
+        flip = np.linalg.det(trans_mat[:3, :3]) < 0.0
+        chunk = self._COLOR_CHUNK
+        group_rows = 4 * chunk
+        parts: list = []
+        vparts: list = []
+        fparts: list = []
+        pending: list = []
+        n_pending = 0
+
+        def dispatch(block: np.ndarray, k: int):
+            vq, lo, scale = self._quantize_u16(block, k * chunk)
+            parts.append(self._normals_many(
+                self.params, l_feats, g_feats,
+                jnp.asarray(vq.reshape(k, chunk, 3)),
+                jnp.asarray(lo), jnp.asarray(scale), calib_j))
+
+        def take_group() -> np.ndarray:
+            nonlocal n_pending
+            out, got = [], 0
+            while got < group_rows:
+                a = pending[0]
+                need = group_rows - got
+                if len(a) <= need:
+                    out.append(pending.pop(0))
+                    got += len(a)
+                else:
+                    out.append(a[:need])
+                    pending[0] = a[need:]
+                    got += need
+            n_pending -= group_rows
+            return out[0] if len(out) == 1 else np.concatenate(out)
+
+        def march_range(marcher, lo_i: int, hi_i: int):
+            nonlocal n_pending
+            if hi_i <= lo_i:
+                return
+            vi, fc = marcher.step(cells_sorted[lo_i:hi_i])
+            if len(fc):
+                fparts.append(fc[:, ::-1] if flip else fc)
+            if len(vi):
+                vw = self._transform_pts(vi, trans_mat)
+                vparts.append(vw)
+                pending.append(vw)
+                n_pending += len(vw)
+            while n_pending >= group_rows:
+                dispatch(take_group(), 4)
+
+        with IncrementalMarcher3(corner_h, top8_h, sub_q_h, top4_h,
+                                 refined_np, res,
+                                 algorithm=self._marching_algo()) as m:
+            # cells needing no refined data (ready == -1) march first
+            done_i = int(np.searchsorted(ready_sorted, 0, side="left"))
+            march_range(m, 0, done_i)
+            for b in range(n_bands):
+                landed[b].wait()
+                if "err" in holder:
+                    break
+                march_range(m, done_i, int(group_end[b]))
+                done_i = int(group_end[b])
+        puller.join()
+        if "err" in holder:
+            raise holder["err"]
+        if n_pending:
+            tail = (pending[0] if len(pending) == 1
+                    else np.concatenate(pending))
+            dispatch(tail, -(-n_pending // chunk))
+        verts = (vparts[0] if len(vparts) == 1
+                 else np.concatenate(vparts)) if vparts \
+            else np.zeros((0, 3), np.float32)
+        faces = (fparts[0] if len(fparts) == 1
+                 else np.concatenate(fparts)) if fparts \
+            else np.zeros((0, 3), np.int32)
+        field = (corner_h, top8_h, sub_q_h, top4_h, refined_np,
+                 cells_sorted)
+        return verts, faces, _ColorJob(parts, len(verts)), field
+
     def _extract_and_color_overlap(self, field, res: int, calib, feats):
         """Slab-incremental marching with per-group fd-normal dispatch.
 
@@ -972,16 +1212,26 @@ class Reconstructor:
         if use_oct:
             from .marching import IncrementalMarcher3
 
-            field = self.evaluate_field(l_feats, g_feats, calib, res)
-            if (len(field) == 6 and IncrementalMarcher3.supported()
-                    and getattr(self.opt, "normal_mode", "fd") != "mesh"):
-                # slab-pipelined marching: coloring dispatches DURING the
-                # host scan, so the device never idles through it
-                verts, faces, job = self._extract_and_color_overlap(
-                    field, res, data["calib"], feats)
+            overlap_ok = (IncrementalMarcher3.supported()
+                          and getattr(self.opt, "normal_mode", "fd")
+                          != "mesh")
+            if (overlap_ok and getattr(self.opt, "octree_levels", 3) == 3
+                    and res % 8 == 0
+                    and getattr(self.opt, "streamed_recon", True)):
+                # band-streamed: phase-3 transfer, host marching and
+                # color dispatch all overlap (see _reconstruct_streamed)
+                verts, faces, job, _field = self._reconstruct_streamed(
+                    res, data["calib"], feats)
             else:
-                verts_idx, faces = self.extract_mesh(
-                    field, res, algorithm=self._marching_algo())
+                field = self.evaluate_field(l_feats, g_feats, calib, res)
+                if len(field) == 6 and overlap_ok:
+                    # slab-pipelined marching: coloring dispatches DURING
+                    # the host scan, so the device never idles through it
+                    verts, faces, job = self._extract_and_color_overlap(
+                        field, res, data["calib"], feats)
+                else:
+                    verts_idx, faces = self.extract_mesh(
+                        field, res, algorithm=self._marching_algo())
         else:
             vol, _ = self.occupancy_volume(l_feats, g_feats, calib, res,
                                            use_octree=False)

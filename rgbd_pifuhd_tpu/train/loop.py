@@ -244,6 +244,38 @@ def pretrain_coarse(opt: Options, mesh=None, max_steps: int | None = None,
 
 
 # ----------------------------------------------------------- normal pretrain
+def select_perceptual(use_vgg: bool | str = "auto", seed: int = 0):
+    """Pick the normal-pretraining perceptual loss; returns (loss, label).
+
+    "auto" follows the measured ranking (scripts/vgg_gap_study.py):
+    real pretrained VGG16 weights if found locally > the committed
+    framework-native backbone (assets/perceptual/backbone.npz) > plain
+    L1 (label "l1_only", loss None) — the random-feature VGG fallback is
+    ~5x WORSE final normal-map L1 than L1-only (the 1e5-weighted style
+    loss on random Gram matrices injects noise).  True forces the
+    VGG-shaped perceptual on (random features when no weights exist);
+    False disables it.  The ordering is pinned by
+    tests/test_perceptual_select.py.
+    """
+    if use_vgg == "auto":
+        if VGG16Features.find_weights() is not None:
+            return (make_perceptual_loss(
+                VGG16Features.load_weights(rng_key=seed)), "vgg16")
+        from ..models.perceptual import (
+            CompactFeatures, find_backbone, load_backbone)
+        bpath = find_backbone()
+        if bpath:
+            return (make_perceptual_loss(
+                load_backbone(bpath), style_weight=1e2,
+                feature_model=CompactFeatures(), weight=0.3),
+                "native_backbone")
+        return None, "l1_only"
+    if use_vgg:
+        return (make_perceptual_loss(
+            VGG16Features.load_weights(rng_key=seed)), "vgg16_forced")
+    return None, "l1_only"
+
+
 def pretrain_normals(opt: Options, coarse_params=None,
                      max_steps: int | None = None,
                      use_vgg: bool | str = "auto", mesh=None) -> Any:
@@ -270,28 +302,8 @@ def pretrain_normals(opt: Options, coarse_params=None,
     item = dataset[0]
     images = jnp.asarray(item["img"][0])[None]  # [1, H, W, 6]
 
-    perceptual = None
-    if use_vgg == "auto":
-        use_vgg = VGG16Features.find_weights() is not None
-        if not use_vgg:
-            from ..models.perceptual import (
-                CompactFeatures, find_backbone, load_backbone)
-            bpath = find_backbone()
-            if bpath:
-                print(f"[pretrain_normals] no pretrained VGG16 found: "
-                      f"using the framework-native perceptual backbone "
-                      f"({bpath})")
-                perceptual = make_perceptual_loss(
-                    load_backbone(bpath), style_weight=1e2,
-                    feature_model=CompactFeatures(), weight=0.3)
-            else:
-                print("[pretrain_normals] no pretrained VGG16 or native "
-                      "backbone found: using L1-only loss (measured "
-                      "better than random-feature perceptual; see "
-                      "scripts/vgg_gap_study.py)")
-    if use_vgg:
-        vgg_params = VGG16Features.load_weights(rng_key=opt.seed)
-        perceptual = make_perceptual_loss(vgg_params)
+    perceptual, choice = select_perceptual(use_vgg, seed=opt.seed)
+    print(f"[pretrain_normals] perceptual loss: {choice}")
 
     out_params = {"params": dict(coarse_params["params"])} if coarse_params \
         else None

@@ -165,6 +165,11 @@ class Options:
     # algorithm family — skimage marching_cubes, mesh_util.py:84);
     # "mt" = marching tetrahedra (exact trilinear-free topology, round 1-3
     # default, kept for comparison)
+    streamed_recon: bool = True  # gen_mesh: dispatch phase-3 refinement
+    # as bands and march each band's cells WHILE later bands still
+    # compute/transfer (pipeline._reconstruct_streamed) — same mesh up to
+    # vertex order; False = evaluate_field's one-shot transfer then
+    # slab-incremental marching
 
     # Sampling
     num_sample_inout: int = 300
@@ -293,6 +298,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=("mc", "mt"),
                    help="isosurface extractor: watertight marching cubes "
                         "(~3x fewer verts/tris) or marching tetrahedra")
+    p.add_argument("--no_streamed_recon", action="store_true",
+                   help="disable band-streamed reconstruction (one-shot "
+                        "field transfer, then slab-incremental marching)")
     p.add_argument("--normal_mode", type=str, default="fd",
                    choices=("fd", "grad", "mesh"),
                    help="vertex normals: 4-tap finite difference (reference"
@@ -404,6 +412,7 @@ def parse_options(argv: Sequence[str] | None = None) -> Options:
         auto_escalate_budget=not args.no_auto_escalate_budget,
         normal_mode=args.normal_mode,
         marching_algo=args.marching_algo,
+        streamed_recon=not args.no_streamed_recon,
         mesh_format=args.mesh_format,
         num_sample_inout=args.num_sample_inout,
         sigma=args.sigma_max if args.sigma_max > 0 else args.sigma,

@@ -39,7 +39,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def scan_slope_time(step_fn, init, iters_lo=4, iters_hi=36, reps=5):
+def scan_slope_time(step_fn, init, iters_lo=8, iters_hi=104, reps=4,
+                    label=""):
     """Per-iteration seconds of ``step_fn`` (carry -> carry), RTT-free.
 
     Jits lax.scan at two lengths; returns the min-over-reps slope.
@@ -55,8 +56,11 @@ def scan_slope_time(step_fn, init, iters_lo=4, iters_hi=36, reps=5):
         f = jax.jit(lambda c: jax.tree.map(
             lambda a: a.astype(jnp.float32).ravel()[0],
             lax.scan(body, c, None, length=n)[0]))
+        t0 = time.time()
         out = f(init)
         jax.tree.map(float, out)  # warm/compile
+        print(f"[profile] scan n={n} compiled+warm in "
+              f"{time.time() - t0:.1f}s", file=sys.stderr, flush=True)
         ts = []
         for _ in range(reps):
             t0 = time.time()
@@ -65,6 +69,8 @@ def scan_slope_time(step_fn, init, iters_lo=4, iters_hi=36, reps=5):
             ts.append(time.time() - t0)
         return float(np.min(ts))
 
+    if label:
+        print(f"[profile] timing {label}", file=sys.stderr, flush=True)
     t_lo, t_hi = run(iters_lo), run(iters_hi)
     return max(t_hi - t_lo, 1e-12) / (iters_hi - iters_lo)
 
@@ -80,6 +86,9 @@ def main():
 
     from rgbd_pifuhd_tpu.models.mlp import PointMLP
     from rgbd_pifuhd_tpu.ops import geometry as geom
+    from rgbd_pifuhd_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # reruns skip the slow tunnel compiles
 
     N = args.chunk
     rng = np.random.default_rng(0)
@@ -105,13 +114,13 @@ def main():
         return p + 1e-7 * (geom.depth_normalize(xyz)
                            + geom.in_bounds_mask(xyz))
 
-    res["proj_ns_pt"] = ns_pt(scan_slope_time(proj_step, pts, **kw))
+    res["proj_ns_pt"] = ns_pt(scan_slope_time(proj_step, pts, label="proj", **kw))
 
     # ---- gathers (carry: uv, nudged by the gathered values)
     res["gather_g_ns_pt"] = ns_pt(scan_slope_time(
-        lambda u: u + 1e-9 * geom.index(feat_g, u)[..., :2], uv, **kw))
+        lambda u: u + 1e-9 * geom.index(feat_g, u)[..., :2], uv, label="gather_g", **kw))
     res["gather_l_ns_pt"] = ns_pt(scan_slope_time(
-        lambda u: u + 1e-9 * geom.index(feat_l, u)[..., :2], uv, **kw))
+        lambda u: u + 1e-9 * geom.index(feat_l, u)[..., :2], uv, label="gather_l", **kw))
 
     # ---- MLP chains (carry: input features, nudged by pred)
     def mlp_slope(dims, res_layers, norm, cin, merge):
@@ -120,7 +129,7 @@ def main():
         x = jnp.asarray(rng.standard_normal((1, N, cin)).astype(f32))
         params = m.init(jax.random.PRNGKey(0), x)
         return scan_slope_time(
-            lambda c: c + 1e-9 * m.apply(params, c)[0], x, **kw)
+            lambda c: c + 1e-9 * m.apply(params, c)[0], x, label=f"mlp{dims}-{norm}", **kw)
 
     dims_g = (257, 1024, 512, 256, 128, 1)
     dims_l = (272, 512, 256, 128, 1)
@@ -149,7 +158,7 @@ def main():
         pred_l, _ = ml.apply(plp, jnp.concatenate([f_l, phi], axis=-1))
         return points + 1e-7 * (mask * pred_l)
 
-    res["query_ns_pt"] = ns_pt(scan_slope_time(query_step, pts, **kw))
+    res["query_ns_pt"] = ns_pt(scan_slope_time(query_step, pts, label="query", **kw))
 
     parts = (res["proj_ns_pt"] + res["gather_g_ns_pt"]
              + res["gather_l_ns_pt"] + res["mlp_g_ns_pt"]

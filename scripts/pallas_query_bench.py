@@ -41,6 +41,9 @@ def main():
     from rgbd_pifuhd_tpu.ops import geometry as geom
     from rgbd_pifuhd_tpu.ops.pallas_query import (
         fused_gather_mlp, gn_scoped_apply, mlp_params_from_tree)
+    from rgbd_pifuhd_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # reruns skip the slow tunnel compiles
 
     N, tile = args.chunk, args.tile
     rng = np.random.default_rng(0)

@@ -37,7 +37,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run(steps: int = 600, size: int = 64) -> dict:
+def run(steps: int = 600, size: int = 64, seed: int = 0) -> dict:
     import jax
     import jax.numpy as jnp
     import dataclasses
@@ -79,10 +79,10 @@ def run(steps: int = 600, size: int = 64) -> dict:
     for label, perc_kind in arms:
         gen = GlobalGenerator(output_nc=3, ngf=16, n_downsampling=2,
                               n_blocks=2)
-        params = gen.init(jax.random.PRNGKey(0), batch_of(0)["images"])
+        params = gen.init(jax.random.PRNGKey(seed), batch_of(0)["images"])
         perceptual = None
         if perc_kind == "random":
-            vgg_params = VGG16Features.init_params(0)
+            vgg_params = VGG16Features.init_params(seed)
             perceptual = make_perceptual_loss(vgg_params)
         elif perc_kind == "native":
             # trained compact backbone, content-dominant weighting (the
@@ -118,9 +118,30 @@ def run(steps: int = 600, size: int = 64) -> dict:
     return results
 
 
+def run_seeds(steps: int, size: int, seeds) -> dict:
+    """VERDICT r4 item 7: the native-backbone margin must reproduce
+    across seeds, not ride one lucky initialization."""
+    per_seed = {s: run(steps, size, s) for s in seeds}
+    agg = {"per_seed": per_seed}
+    for key in ("l1_only", "native_backbone", "random_vgg"):
+        vals = [r[key] for r in per_seed.values() if key in r]
+        if vals:
+            agg[f"{key}_mean"] = round(float(np.mean(vals)), 4)
+    if "native_backbone_mean" in agg:
+        agg["native_wins_all_seeds"] = all(
+            r.get("native_backbone", 1e9) < r["l1_only"]
+            for r in per_seed.values())
+    print(agg)
+    return agg
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0])
     args = ap.parse_args()
-    run(args.steps, args.size)
+    if len(args.seeds) > 1:
+        run_seeds(args.steps, args.size, args.seeds)
+    else:
+        run(args.steps, args.size, args.seeds[0])

@@ -269,6 +269,54 @@ def test_gen_mesh_overlap_matches_sequential(rng, tmp_path, monkeypatch):
                                atol=1e-5)
 
 
+def test_gen_mesh_streamed_flag_off_matches(rng, tmp_path):
+    """streamed_recon=False selects the one-shot-transfer + slab-overlap
+    path; its mesh must canonically match the band-streamed default
+    (which marches cells in data-arrival order, so indices permute but
+    the vertex set and triangle geometry are identical)."""
+    import dataclasses
+
+    from rgbd_pifuhd_tpu.models import MultiResPIFu
+    from rgbd_pifuhd_tpu.recon import marching as marching_mod
+    from rgbd_pifuhd_tpu.recon.pipeline import Reconstructor
+    from rgbd_pifuhd_tpu.utils.options import Options
+    from tests.test_models_pifu import tiny_global, tiny_local
+
+    if not marching_mod.IncrementalMarcher3.supported():
+        import pytest
+        pytest.skip("native marching lib unavailable")
+
+    model = MultiResPIFu(cfg=tiny_local(), cfg_global=tiny_global())
+    img_l = jnp.asarray(rng.standard_normal((1, 32, 32, 6)).astype(np.float32))
+    img_g = jnp.asarray(rng.standard_normal((1, 64, 64, 6)).astype(np.float32))
+    calib = jnp.eye(4, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), img_l[None], img_g,
+                        jnp.zeros((1, 1, 8, 3), jnp.float32),
+                        calib[None, None], calib[None],
+                        jnp.zeros((1, 1, 8, 1), jnp.float32))
+    data = {"img": img_l, "img_512": img_g, "calib": calib}
+
+    p_st = os.path.join(tmp_path, "streamed.obj")
+    out_st = Reconstructor(model, params, Options(resolution=32)).gen_mesh(
+        data, p_st, resolution=32)
+    opt_slab = dataclasses.replace(Options(resolution=32),
+                                   streamed_recon=False)
+    p_sl = os.path.join(tmp_path, "slab.obj")
+    out_sl = Reconstructor(model, params, opt_slab).gen_mesh(
+        data, p_sl, resolution=32)
+
+    v1, f1, _ = load_obj(p_st)
+    v2, f2, _ = load_obj(p_sl)
+    assert len(v1) == len(v2) == len(out_st["verts"]) == len(out_sl["verts"])
+    assert f1.shape == f2.shape
+    o1, o2 = np.lexsort(v1.T), np.lexsort(v2.T)
+    np.testing.assert_allclose(v1[o1], v2[o2], atol=1e-5)
+    t1 = v1[f1].reshape(-1, 9)
+    t2 = v2[f2].reshape(-1, 9)
+    np.testing.assert_allclose(t1[np.lexsort(t1.T)], t2[np.lexsort(t2.T)],
+                               atol=1e-5)
+
+
 def test_ply_roundtrip_matches_obj(rng, tmp_path):
     """Binary PLY writer: round-trips exactly and agrees with the OBJ
     writer on geometry, winding, and (uint8-quantized) colors."""
