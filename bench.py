@@ -8,14 +8,17 @@ This is ONE CONTINUOUS gen_mesh() call — encode, sparse two-phase 512^3
 grid evaluation, device->host sparse transfer, sparse-direct marching
 cubes, fd-normal vertex coloring, OBJ write — not stitched components.
 
-The surface is the TRAINED FLAGSHIP model's own field: the checkpoint
-from scripts/train_bench_flagship.py (384.6M params) reconstructs
-end-to-end with no blend; when the checkpoint is absent the bench TRAINS
-it in-process first (reduced steps, stage-level resume).  Only if that
-fails does it fall back to the round-3 scheme — untrained flagship
-compute blended 1e-6 over the committed trained-tiny field
-(assets/bench_tiny) or, without any checkpoint, an analytic capsule; the
-emitted "surface" field says which path ran.
+The surface is a TRAINED FLAGSHIP-class model's own field, reconstructed
+end-to-end with no blend: the full 384.6M-param checkpoint
+(scripts/train_bench_flagship.py) when cached, else the COMMITTED
+flagship-lite (assets/bench_flagship_lite — identical encoders+MLP
+chains, so identical field-phase work; normal nets width-scaled ngf16).
+Only when neither exists does the bench TRAIN the full flagship
+in-process (reduced steps, stage-level resume), and only if that fails
+does it fall back to the round-3 scheme — untrained flagship compute
+blended 1e-6 over the committed trained-tiny field (assets/bench_tiny)
+or, without any checkpoint, an analytic capsule; the emitted "surface"
+field says which path ran.
 
 Also reported: pipelined multi-subject throughput (gen_mesh_many overlaps
 host marching with the next subject's device evaluation) and raw grid-query
@@ -86,12 +89,11 @@ def main():
                           label="flagship field setup")
     tiny = None
     if flag is not None:
-        params, opt_model, data0 = flag
+        params, opt_model, data0, surface_label = flag
         cfg_g, cfg_l = opt_model.netG, opt_model.netMR  # bf16 embedded
         model = MultiResPIFu(cfg=cfg_l, cfg_global=cfg_g)
         img_l, img_g = data0["img"], data0["img_512"]
         calib = data0["calib"]
-        surface_label = "trained flagship field"
     else:
         cfg_g, cfg_l, _, _ = _configs(tiny=False)
         # bf16 activations for the inference path (params stay f32)

@@ -9,7 +9,8 @@ a third-party HTTP service, so this module provides:
   segmentation using OpenCV GrabCut seeded by the person rect (the same
   rect file the inference reader already uses);
 - ``crop_people`` — drop-in equivalent of the reference's function: returns
-  the foreground composited on black;
+  the foreground composited on white (crop_img.py:39 sets non-person
+  pixels to 255);
 - ``ExternalSegmenter`` — the plug-point for a cloud/model segmenter with
   the same ``(image) -> mask`` contract, for deployments that have one.
 """
@@ -47,15 +48,18 @@ def segment_person_grabcut(img: np.ndarray, rect=None,
 
 
 def crop_people(img_path: str, rect=None,
-                segmenter: Callable | None = None) -> np.ndarray:
-    """Foreground image on black background (crop_img.crop_people parity)."""
+                segmenter: Callable | None = None,
+                background: int = 255) -> np.ndarray:
+    """Foreground image on a flat background (crop_img.crop_people parity:
+    crop_img.py:39 fills non-person pixels with 255/white; pass
+    ``background=0`` for the black fill TrainDataset-style tooling uses)."""
     import cv2
 
     img = cv2.imread(img_path)
     seg = segmenter or segment_person_grabcut
     mask = seg(img, rect)
     out = img.copy()
-    out[~mask] = 0
+    out[~mask] = background
     return out
 
 

@@ -69,7 +69,7 @@ def run(ckpt_dir=None, do_coarse=True, save=None):
             ckpt_dir, "ckpt") if os.path.isdir(ckpt_dir) else ckpt_dir
     flag = bench._flagship_trained_field(repo)
     assert flag is not None, "no flagship checkpoint found"
-    params, opt_model, data = flag
+    params, opt_model, data = flag[:3]
     print(f"ckpt loaded ({time.time() - t0:.0f}s)", flush=True)
 
     from rgbd_pifuhd_tpu.models import CoarsePIFu, MultiResPIFu

@@ -40,17 +40,34 @@ FLAG_DATA_KW = dict(subjects=("sphere", "capsule"), size=1024,
                     load_size=1024, seed=0)
 
 DEFAULT_OUT = os.path.expanduser("~/.cache/rgbd_pifuhd_tpu/flagship")
+# The committed flagship-LITE checkpoint (VERDICT r4 item 6): identical
+# hourglass encoders and MLP chains to the flagship — so the field-phase
+# per-point work the bench times is IDENTICAL — with the pix2pixHD normal
+# nets width-scaled ngf 64->16 (same topology, 4 downsamplings / 9
+# resblocks; 11.4M params each vs 182.5M).  42.6M params total ~= 85 MB
+# f16: small enough to commit, which makes the bench's cold start a
+# checkpoint load instead of a 30+ min in-bench training run.
+DEFAULT_LITE_OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "assets", "bench_flagship_lite")
+LITE_NML_NGF = 16
 
 
-def flagship_options(dataroot: str):
+def flagship_options(dataroot: str, lite: bool = False):
     """Flagship training Options: the graft-entry configs (bf16 compute)
-    over 1024^2 renders, 512^2 global input, 4096 sample points."""
+    over 1024^2 renders, 512^2 global input, 4096 sample points.
+
+    ``lite=True`` width-scales ONLY the normal nets (ngf 64->16, same
+    topology); encoders and MLP chains stay flagship-exact.
+    """
     from __graft_entry__ import _configs
     from rgbd_pifuhd_tpu.utils.options import Options
 
     cfg_g, cfg_l, _, _ = _configs(tiny=False)
     cfg_g = dataclasses.replace(cfg_g, compute_dtype="bfloat16")
     cfg_l = dataclasses.replace(cfg_l, compute_dtype="bfloat16")
+    if lite:
+        cfg_g = dataclasses.replace(cfg_g, nml_ngf=LITE_NML_NGF)
     return Options(dataroot=dataroot, load_size=1024, load_size_big=1024,
                    load_size_local=512, num_sample_inout=4096, sigma=8.0,
                    netG=cfg_g, netMR=cfg_l)
@@ -159,7 +176,7 @@ def train_flagship(dataroot: str, out_dir: str, steps_nml: int = 300,
                    steps_coarse: int = 1200, steps_fine: int = 1200,
                    log_every: int = 50, seed: int = 0,
                    opt_name: str = "adam", lr: float = 3e-3,
-                   far_boost: float = 2.0) -> str:
+                   far_boost: float = 2.0, lite: bool = False) -> str:
     """Three-stage flagship training; returns the checkpoint path.
 
     Loss readbacks happen every ``log_every`` steps only — each readback
@@ -207,7 +224,7 @@ def train_flagship(dataroot: str, out_dir: str, steps_nml: int = 300,
     _memoize_imread()
     t_start = time.time()
 
-    opt = flagship_options(ensure_flagship_dataset(dataroot))
+    opt = flagship_options(ensure_flagship_dataset(dataroot), lite=lite)
     cfg_g = opt.netG
     ds = TrainDataset(opt, seed=seed)
     n_items = len(ds)
@@ -221,7 +238,7 @@ def train_flagship(dataroot: str, out_dir: str, steps_nml: int = 300,
     tag = json.dumps(
         dict(steps_nml=steps_nml, steps_coarse=steps_coarse,
              steps_fine=steps_fine, opt=opt_name, lr=lr,
-             far_boost=far_boost, seed=seed), sort_keys=True)
+             far_boost=far_boost, seed=seed, lite=lite), sort_keys=True)
     g_resume = _load_stage(stage2_path, tag)
 
     # ---- stage 1: normal nets on GT normal maps (L1-only)
@@ -416,6 +433,13 @@ def main():
                     help="extra pure-uniform labeled samples per step, as "
                          "a multiple of num_sample_inout (0 = reference "
                          "sampler only)")
+    ap.add_argument("--lite", action="store_true",
+                    help="train the flagship-LITE variant (normal nets "
+                         "width-scaled ngf 64->16, encoders/MLPs "
+                         "flagship-exact; 42.6M params ~= 85 MB f16 — "
+                         "small enough to commit as the bench's "
+                         "cold-start surface). Default --out becomes "
+                         "assets/bench_flagship_lite")
     ap.add_argument("--supervised", action="store_true",
                     help="re-exec this training under bench.py's "
                          "progress-aware watchdog: probe-gate a hung "
@@ -424,6 +448,8 @@ def main():
                          "(a blocked jax call never returns to Python, so "
                          "no in-process timeout can catch a tunnel hang)")
     args = ap.parse_args()
+    if args.lite and args.out == DEFAULT_OUT:
+        args.out = DEFAULT_LITE_OUT
     if args.supervised:
         import bench  # repo root is on sys.path (top of this file)
 
@@ -448,6 +474,8 @@ def main():
                "--optimizer", args.optimizer,
                "--lr", str(args.lr),
                "--far-boost", str(args.far_boost)]
+        if args.lite:
+            cmd.append("--lite")
         # probe=True keeps the PER-ATTEMPT tunnel-probe gate: training
         # talks to the device tunnel on every attempt, and a retry after
         # a tunnel flap must wait for the tunnel to answer again.
@@ -456,7 +484,7 @@ def main():
     train_flagship(args.dataroot, args.out, args.steps_nml,
                    args.steps_coarse, args.steps_fine, args.log_every,
                    opt_name=args.optimizer, lr=args.lr,
-                   far_boost=args.far_boost)
+                   far_boost=args.far_boost, lite=args.lite)
 
 
 if __name__ == "__main__":
