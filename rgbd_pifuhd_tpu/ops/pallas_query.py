@@ -1,5 +1,15 @@
 """Pallas TPU kernel: fused bilinear-gather + per-point MLP field query.
 
+STATUS — measured NEGATIVE result, kept as a tested reference
+implementation: on the real v5e at flagship shapes this kernel runs at
+7.7 Mpts/s vs 17.8 Mpts/s for the XLA path (scripts/pallas_query_bench.py;
+numerics parity max |diff| 1.4e-3 bf16).  The aligned-block gather +
+masked row-reduction must run in a sequential per-point fori_loop
+(Mosaic forbids unaligned dynamic VMEM slices), and that loop's scalar
+overhead (~65 ns/pt/level) dominates; XLA's batched gather lowering
+vectorizes the same access pattern.  Full analysis:
+docs/PERFORMANCE.md "Optimization journey" item 3.
+
 The field-phase hot loop (reference: mesh_util.py:98-114 eval_func +
 MLP.py:12-75) is, per query point: project -> 4-tap bilinear gather from
 the encoder feature map -> concat a spatial feature -> MLP chain.  Under
@@ -10,9 +20,15 @@ fine 256x256x16 = 2 MB) and, per tile of K points:
 
     1. gathers the 2x2 taps with TWO dynamic-slice reads per point —
        taps (x0, y) and (x0+1, y) are ADJACENT ROWS of the [H*W, C]
-       feature layout, so each read is a [2, C] slice;
-    2. combines taps with precomputed hat weights (vectorized VPU pass);
-    3. runs the full MLP chain on the MXU with activations in VMEM,
+       feature layout.  Mosaic requires dynamic dim-0 indices to be
+       provably sublane-aligned ("cannot statically prove that index
+       ... is a multiple of 8"), so each read is a 2*ALIGN-row block
+       at ``(row // ALIGN) * ALIGN`` (``pl.multiple_of`` carries the
+       proof; ALIGN=16 covers bf16 packing) and the bilinear combine
+       happens in the same loop step as a masked row-reduction: tap
+       weights scattered onto iota==offset masks over the block rows,
+       multiply-accumulated down to one [C] row per point;
+    2. runs the full MLP chain on the MXU with activations in VMEM,
        including GroupNorm (stats over the tile — see below), residual
        input concats, leaky_relu, the merge-layer phi capture, and the
        sigmoid head.
@@ -161,27 +177,35 @@ def _pack_layers(weights, gn_params, res_layers, C, c_feat, E, in_pad,
 def _group_norm_tile(h32, scale, bias, num_groups, real_c, eps=1e-5):
     """GroupNorm over a [K, C] tile (stats over K x C/G), f32 in/out.
 
-    Padded cols (real_c < C): mean/inv broadcast as 0 there and the
-    affine is 0-padded, so the padded tail stays exactly 0.
+    The channel->group reduction and the group->channel broadcast are
+    expressed as matmuls with an iota-built [C, G] indicator matrix —
+    Mosaic rejects 1D<->2D vector reshapes inside kernels, and the
+    [1, C] x [C, G] dots are a few kMACs, noise next to the layer
+    matmul.  Padded cols (real_c < C): the indicator row is all-zero,
+    so mean/inv broadcast as 0 there; with the 0-padded affine the
+    padded tail stays exactly 0.
     """
-    K = h32.shape[0]
+    K, C = h32.shape
     cg = real_c // num_groups
-    s = jnp.sum(h32, axis=0)            # [C]
-    ss = jnp.sum(h32 * h32, axis=0)
-    sg = jnp.sum(s[:real_c].reshape(num_groups, cg), axis=1,
-                 keepdims=True)          # [G, 1]
-    ssg = jnp.sum(ss[:real_c].reshape(num_groups, cg), axis=1,
-                  keepdims=True)
+    cid = jax.lax.broadcasted_iota(jnp.int32, (C, num_groups), 0)
+    gid = jax.lax.broadcasted_iota(jnp.int32, (C, num_groups), 1)
+    member = jnp.where((cid // cg == gid) & (cid < real_c), 1.0, 0.0)
+    s = jnp.sum(h32, axis=0, keepdims=True)            # [1, C]
+    ss = jnp.sum(h32 * h32, axis=0, keepdims=True)
+    sg = jnp.dot(s, member, preferred_element_type=jnp.float32)  # [1, G]
+    ssg = jnp.dot(ss, member, preferred_element_type=jnp.float32)
     n = K * cg
     mean_g = sg / n
     var_g = ssg / n - mean_g * mean_g
     inv_g = jax.lax.rsqrt(var_g + eps)
-    mean_c = jnp.broadcast_to(mean_g, (num_groups, cg)).reshape(1, real_c)
-    inv_c = jnp.broadcast_to(inv_g, (num_groups, cg)).reshape(1, real_c)
-    if real_c != h32.shape[1]:
-        mean_c = _pad_to(mean_c, h32.shape[1], 1)
-        inv_c = _pad_to(inv_c, h32.shape[1], 1)
+    mean_c = jnp.dot(mean_g, member.T,
+                     preferred_element_type=jnp.float32)         # [1, C]
+    inv_c = jnp.dot(inv_g, member.T,
+                    preferred_element_type=jnp.float32)
     return (h32 - mean_c) * inv_c * scale + bias
+
+
+_ALIGN = 16        # sublane alignment Mosaic can honor for f32 AND bf16
 
 
 def _query_kernel(feat_ref, rows_ref, wts_ref, extra_ref, *refs,
@@ -189,27 +213,36 @@ def _query_kernel(feat_ref, rows_ref, wts_ref, extra_ref, *refs,
                   merge, last_op, K, c_feat, c_extra_real, compute_dtype,
                   in_pad):
     """One grid step: gather K points' taps, combine, run the MLP chain."""
-    g_ref = refs[-1]           # scratch [K, 4, c_feat]
+    g_ref = refs[-1]           # scratch [K, c_feat] f32 (combined taps)
     pred_ref = refs[-3]
     phi_ref = refs[-2]
     w_refs = refs[:-3]
 
+    blk = 2 * _ALIGN
+    io = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
+
     def body(i, _):
-        ra = rows_ref[i, 0]
-        rb = rows_ref[i, 1]
-        g_ref[i, 0:2, :] = feat_ref[pl.ds(ra, 2), :]
-        g_ref[i, 2:4, :] = feat_ref[pl.ds(rb, 2), :]
+        ra = rows_ref[0, 0, i]
+        rb = rows_ref[0, 1, i]
+        ba = pl.multiple_of((ra // _ALIGN) * _ALIGN, _ALIGN)
+        bb = pl.multiple_of((rb // _ALIGN) * _ALIGN, _ALIGN)
+        oa = ra - ba                     # in [0, ALIGN); oa+1 < blk
+        ob = rb - bb
+        # scatter the 4 hat weights onto block-row masks and reduce:
+        # rows oa, oa+1 of block a carry taps (y0,xl), (y0,xl+1);
+        # rows ob, ob+1 of block b carry taps (y1,xl), (y1,xl+1)
+        wa = (jnp.where(io == oa, wts_ref[0, 0, i], 0.0)
+              + jnp.where(io == oa + 1, wts_ref[0, 1, i], 0.0))  # [blk, 1]
+        wb = (jnp.where(io == ob, wts_ref[0, 2, i], 0.0)
+              + jnp.where(io == ob + 1, wts_ref[0, 3, i], 0.0))
+        blk_a = feat_ref[pl.ds(ba, blk), :].astype(jnp.float32)
+        blk_b = feat_ref[pl.ds(bb, blk), :].astype(jnp.float32)
+        g_ref[i, :] = jnp.sum(blk_a * wa + blk_b * wb, axis=0)
         return 0
 
     jax.lax.fori_loop(0, K, body, 0)
 
-    w = wts_ref[:]                                     # [K, 4] f32
-    feat_pt = (
-        g_ref[:, 0, :].astype(jnp.float32) * w[:, 0:1]
-        + g_ref[:, 1, :].astype(jnp.float32) * w[:, 1:2]
-        + g_ref[:, 2, :].astype(jnp.float32) * w[:, 2:3]
-        + g_ref[:, 3, :].astype(jnp.float32) * w[:, 3:4]
-    )                                                  # [K, c_feat]
+    feat_pt = g_ref[:]                                 # [K, c_feat] f32
 
     # assemble padded input row: [feat_pad | extra | zeros]
     extra = extra_ref[:][:, :c_extra_real].astype(jnp.float32)
@@ -292,13 +325,17 @@ def fused_gather_mlp(
     c_feat = _r128(C)
     in_pad = _r128(c_feat + E)
     feat2d = feat.reshape(H * W, C).astype(feat_dtype)
-    feat2d = _pad_to(_pad_to(feat2d, c_feat, 1), H * W + 8, 0)
+    # rows pad: aligned-block reads reach ((H*W-2)//ALIGN)*ALIGN + 2*ALIGN
+    rows_pad = (-(-(H * W) // _ALIGN)) * _ALIGN + 2 * _ALIGN
+    feat2d = _pad_to(_pad_to(feat2d, c_feat, 1), rows_pad, 0)
 
     rows, wts = gather_rows_weights(uv, H, W)
     n_tiles = -(-N // tile)
     Np = n_tiles * tile
-    rows = _pad_to(rows, Np, 0)
-    wts = _pad_to(wts, Np, 0)
+    # SMEM layout: point axis MINOR ([n_tiles, 2|4, tile]) — a (tile, 2)
+    # SMEM block gets its minor dim padded and blows the 1 MB budget
+    rows = _pad_to(rows, Np, 0).reshape(n_tiles, tile, 2).transpose(0, 2, 1)
+    wts = _pad_to(wts, Np, 0).reshape(n_tiles, tile, 4).transpose(0, 2, 1)
     extra_p = _pad_to(_pad_to(extra, _r128(max(E, 1)), 1), Np, 0)
     e_pad = extra_p.shape[1]
 
@@ -330,10 +367,10 @@ def fused_gather_mlp(
         in_specs=[
             pl.BlockSpec((feat2d.shape[0], c_feat), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 2), lambda g: (g, 0),
+            pl.BlockSpec((1, 2, tile), lambda g: (g, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((tile, 4), lambda g: (g, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, tile), lambda g: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((tile, e_pad), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
             *w_specs,
@@ -349,8 +386,13 @@ def fused_gather_mlp(
             jax.ShapeDtypeStruct((Np, phi_cols), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile, 4, c_feat), jnp.dtype(feat_dtype)),
+            pltpu.VMEM((tile, c_feat), jnp.float32),
         ],
+        # the whole feature map lives in VMEM (coarse 8.4 MB bf16; fine
+        # 2 MB data but 16.8 MB in lane-padded layout) — the default
+        # 16 MB scoped-vmem cap is too small, the chip's VMEM is not
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(feat2d, rows, wts, extra_p, *w_args)
 
