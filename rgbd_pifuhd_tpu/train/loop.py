@@ -248,19 +248,26 @@ def select_perceptual(use_vgg: bool | str = "auto", seed: int = 0):
     """Pick the normal-pretraining perceptual loss; returns (loss, label).
 
     "auto" follows the measured ranking (scripts/vgg_gap_study.py):
-    real pretrained VGG16 weights if found locally > the committed
-    framework-native backbone (assets/perceptual/backbone.npz) > plain
-    L1 (label "l1_only", loss None) — the random-feature VGG fallback is
-    ~5x WORSE final normal-map L1 than L1-only (the 1e5-weighted style
-    loss on random Gram matrices injects noise).  True forces the
-    VGG-shaped perceptual on (random features when no weights exist);
-    False disables it.  The ordering is pinned by
+    real pretrained VGG16 weights if found locally, else plain L1
+    (label "l1_only", loss None).  The framework-native backbone
+    (assets/perceptual/backbone.npz) is EXPLICIT opt-in via
+    ``use_vgg="native"``: round 4's single-seed +13.6% margin did NOT
+    reproduce — the 3-seed study (--seeds 0 1 2, 600 steps) measured
+    native vs L1-only at -4.8% / +6.1% / +20.3% (mean 0.0079 vs
+    0.0074), i.e. parity-to-worse within seed noise, so L1 is the
+    honest no-weights default.  The random-feature VGG fallback stays
+    ~5-15x WORSE than L1-only (the 1e5-weighted style loss on random
+    Gram matrices injects noise) and is never auto-selected.  True
+    forces the VGG-shaped perceptual on (random features when no
+    weights exist); False disables it.  The ordering is pinned by
     tests/test_perceptual_select.py.
     """
     if use_vgg == "auto":
         if VGG16Features.find_weights() is not None:
             return (make_perceptual_loss(
                 VGG16Features.load_weights(rng_key=seed)), "vgg16")
+        return None, "l1_only"
+    if use_vgg == "native":
         from ..models.perceptual import (
             CompactFeatures, find_backbone, load_backbone)
         bpath = find_backbone()
@@ -284,12 +291,12 @@ def pretrain_normals(opt: Options, coarse_params=None,
     Returns coarse-model params with the trained netF/netB subtrees.
     ``use_vgg``: "auto" (default) picks the perceptual feature model by
     the measured ranking (scripts/vgg_gap_study.py): real pretrained
-    VGG16 weights if found locally, else the committed framework-native
-    backbone (assets/perceptual/backbone.npz, models/perceptual.py),
-    else plain L1 — the random-feature VGG fallback is ~5x WORSE final
-    normal-map L1 than L1-only (the 1e5-weighted style loss on random
-    Gram matrices injects noise).  True forces real-VGG-shaped perceptual
-    on (random features if no weights), False disables perceptual.
+    VGG16 weights if found locally, else plain L1 (the native backbone's
+    single-seed margin did not survive the 3-seed study — see
+    select_perceptual).  "native" opts into the committed framework-
+    native backbone (assets/perceptual/backbone.npz).  True forces
+    real-VGG-shaped perceptual on (random features if no weights),
+    False disables perceptual.
     """
     dataset = TrainDataset(opt, load_mesh=False, seed=opt.seed)
     if len(dataset) < opt.batch_size:

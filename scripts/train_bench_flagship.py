@@ -257,6 +257,16 @@ def train_flagship(dataroot: str, out_dir: str, steps_nml: int = 300,
     if g_resume is None and nml_params is None:
         nml_params = {}
         for net_name, target_key in (("netF", "imF"), ("netB", "imB")):
+            # per-net resume point: a tunnel-flap kill between netF and
+            # netB must not retrain netF (observed 2026-08-21: flap
+            # windows can be shorter than the whole stage)
+            net_path = f"{stage1_path}_{net_name}"
+            prev = _load_stage(net_path, tag)
+            if prev is not None:
+                print(f"[stage] resuming {net_name} from its resume "
+                      "point", flush=True)
+                nml_params[net_name] = prev
+                continue
             batches = [
                 {"images": jnp.asarray(it["img"][0])[None],
                  "target": jnp.asarray(it[target_key])[None]}
@@ -274,6 +284,7 @@ def train_flagship(dataroot: str, out_dir: str, steps_nml: int = 300,
                 if i % log_every == 0 or i + 1 == steps_nml:
                     log(net_name, i, steps_nml, float(m["loss"]))
             nml_params[net_name] = params["params"]
+            _save_stage(net_path, nml_params[net_name], opt, tag)
         _save_stage(stage1_path, nml_params, opt, tag)
 
     # Per-step host->device traffic must stay tiny: the tunnel link runs
@@ -404,7 +415,8 @@ def train_flagship(dataroot: str, out_dir: str, steps_nml: int = 300,
     f16 = _pull_f16(f_vars)
     ckpt.save_checkpoint(path, f16, opt,
                          epoch=steps_nml + steps_coarse + steps_fine)
-    for p in (stage1_path, stage2_path):        # resume points served their
+    for p in (stage1_path, f"{stage1_path}_netF", f"{stage1_path}_netB",
+              stage2_path):                     # resume points served their
         for q in (p, p + ".tag"):               # purpose; reclaim the cache
             if os.path.exists(q):
                 os.remove(q)

@@ -5,7 +5,9 @@ Reference: /root/reference/networks.py:419-449 (torchvision
 vgg16(pretrained) perceptual), pretrain_netG.py:159-197 (5*L1 + VGG
 loss).  The environment ships no pretrained VGG16, so the loader must
 keep working against a synthetic torchvision-layout .pth and the
-selection must rank vgg16 > native_backbone > l1_only.
+selection must rank vgg16 > l1_only, with the native backbone as
+EXPLICIT opt-in ("native") — its single-seed margin did not survive
+the 3-seed study (select_perceptual docstring has the numbers).
 """
 
 import os
@@ -18,27 +20,28 @@ from rgbd_pifuhd_tpu.train import loop as train_loop
 
 
 def test_auto_selection_order(monkeypatch, tmp_path):
-    """auto: vgg16 when weights exist > native backbone > l1-only; the
-    random-feature VGG is NEVER auto-selected (measured ~5x worse than
-    L1-only, scripts/vgg_gap_study.py)."""
+    """auto: vgg16 when weights exist, else l1-only; the native backbone
+    is explicit opt-in ("native"); the random-feature VGG is NEVER
+    auto-selected (measured ~5-15x worse than L1-only,
+    scripts/vgg_gap_study.py)."""
     from rgbd_pifuhd_tpu.models import perceptual as perc_mod
 
-    # neither available -> l1_only, no loss fn
+    # no VGG16 weights -> l1_only, no loss fn (NOT the native backbone:
+    # its margin is seed noise — 3-seed study in select_perceptual)
     monkeypatch.setattr(VGG16Features, "find_weights",
                         staticmethod(lambda path=None: None))
-    monkeypatch.setattr(perc_mod, "find_backbone", lambda: None)
     loss, label = train_loop.select_perceptual("auto")
     assert label == "l1_only" and loss is None
 
-    # native backbone available (committed asset) -> native_backbone
+    # the committed native backbone remains reachable by explicit opt-in
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     bpath = os.path.join(repo, "assets", "perceptual", "backbone.npz")
     if os.path.exists(bpath):
         monkeypatch.setattr(perc_mod, "find_backbone", lambda: bpath)
-        loss, label = train_loop.select_perceptual("auto")
+        loss, label = train_loop.select_perceptual("native")
         assert label == "native_backbone" and callable(loss)
 
-    # real VGG16 weights beat the native backbone
+    # real VGG16 weights win in auto mode
     monkeypatch.setattr(
         VGG16Features, "find_weights",
         staticmethod(lambda path=None: str(tmp_path / "fake.npz")))
