@@ -44,16 +44,86 @@ def two_level_query_flops_per_point(cfg_fine, cfg_global) -> float:
 
 
 def lowered_flops(jitted, *args, **kwargs) -> float | None:
-    """XLA HLO flop estimate of ``jitted(*args)``; None when the client
-    does not expose cost analysis.  Lowering traces on the client — no
-    device execution or compilation happens."""
+    """XLA HLO flop estimate of ``jitted(*args)``; falls back to a
+    jaxpr-level matmul/conv MAC count when the client does not expose
+    cost analysis (the tunneled axon backend returns None from
+    ``lower().cost_analysis()``).  Lowering/tracing happens on the
+    client — no device execution or compilation."""
     try:
         ca = jitted.lower(*args, **kwargs).cost_analysis()
         if isinstance(ca, (list, tuple)):  # older jax: one dict per device
             ca = ca[0]
         return float(ca["flops"])
     except Exception:  # noqa: BLE001 — backend/version dependent API
+        pass
+    try:
+        return jaxpr_flops(jitted, *args, **kwargs)
+    except Exception:  # noqa: BLE001 — same contract: None, never raise
         return None
+
+
+def _math_prod(xs) -> float:
+    out = 1.0
+    for x in xs:
+        out *= float(x)
+    return out
+
+
+def jaxpr_flops(fn, *args, **kwargs) -> float:
+    """Matmul + conv MAC*2 count from the traced jaxpr of ``fn(*args)``.
+
+    Backend-independent twin of XLA's "flops" cost analysis for the ops
+    that carry ~all encoder flops: ``dot_general`` and
+    ``conv_general_dilated``.  Elementwise/norm/reduction ops are O(n)
+    next to these and ignored — same convention XLA's own counter uses
+    for MFU math.  Recurses through call/closed-call primitives (pjit,
+    remat, custom_vjp, scan — scan multiplies by trip count).
+    """
+    import jax
+
+    closed = jax.make_jaxpr(
+        (fn.__wrapped__ if hasattr(fn, "__wrapped__") else fn))(
+        *args, **kwargs)
+    return _jaxpr_flops_inner(closed.jaxpr)
+
+
+def _jaxpr_flops_inner(jaxpr) -> float:
+    total = 0.0
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name == "dot_general":
+            (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
+            lhs = eqn.invars[0].aval.shape
+            rhs = eqn.invars[1].aval.shape
+            batch = _math_prod(lhs[d] for d in lb)
+            contract = _math_prod(lhs[d] for d in lc)
+            m = _math_prod(lhs[d] for d in range(len(lhs))
+                           if d not in set(lc) | set(lb))
+            n = _math_prod(rhs[d] for d in range(len(rhs))
+                           if d not in set(rc) | set(rb))
+            total += 2.0 * batch * m * n * contract
+        elif name == "conv_general_dilated":
+            dn = eqn.params["dimension_numbers"]
+            rhs = eqn.invars[1].aval.shape
+            out = eqn.outvars[0].aval.shape
+            k_spatial = _math_prod(rhs[d] for d in dn.rhs_spec[2:])
+            cin_per_group = rhs[dn.rhs_spec[1]]
+            total += 2.0 * _math_prod(out) * cin_per_group * k_spatial
+        else:
+            # recurse into inner jaxprs (pjit/remat/scan/cond/custom_*)
+            trip = float(eqn.params.get("length", 1)) \
+                if name == "scan" else 1.0
+            for key in ("jaxpr", "call_jaxpr"):
+                inner = eqn.params.get(key)
+                if inner is not None:
+                    total += trip * _jaxpr_flops_inner(
+                        getattr(inner, "jaxpr", inner))
+            if name == "cond":
+                total += max(
+                    (_jaxpr_flops_inner(b.jaxpr)
+                     for b in eqn.params.get("branches", ())),
+                    default=0.0)
+    return total
 
 
 # Published peak dense bf16 matmul throughput per chip, FLOP/s.

@@ -79,3 +79,57 @@ def test_lowered_flops_matmul():
     if got is None:
         return
     assert got >= 2 * 32 * 32 * 32 * 0.99
+
+
+def test_jaxpr_flops_matches_xla_conv_count():
+    """jaxpr_flops (the backend-independent fallback used when
+    lower().cost_analysis() returns None — the tunneled axon client
+    does) agrees with XLA's conv+matmul count within 10%."""
+    import flax.linen as nn
+
+    from rgbd_pifuhd_tpu.utils.flops import jaxpr_flops
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            # VALID padding: XLA's counter excludes multiplies against
+            # SAME-padding zeros, which at tiny test sizes skews the
+            # comparison by the border fraction; production encode
+            # images are 512-1024^2 where that skew is <1%
+            x = nn.Conv(16, (3, 3), strides=(2, 2), padding="VALID")(x)
+            x = nn.relu(x)
+            x = nn.Conv(32, (3, 3), feature_group_count=2,
+                        padding="VALID")(x)
+            return nn.Dense(8)(x.reshape(x.shape[0], -1))
+
+    m = M()
+    x = jnp.ones((2, 16, 16, 3))
+    params = m.init(jax.random.PRNGKey(0), x)
+    f = jax.jit(lambda p, x: m.apply(p, x))
+    got = jaxpr_flops(f, params, x)
+    xla = None
+    try:
+        ca = f.lower(params, x).cost_analysis()
+        xla = float(ca["flops"]) if ca else None
+    except Exception:
+        pass
+    assert got > 0
+    if xla:
+        assert abs(got - xla) / xla < 0.10, (got, xla)
+
+
+def test_jaxpr_flops_counts_through_scan_and_pjit():
+    from rgbd_pifuhd_tpu.utils.flops import jaxpr_flops
+
+    w = jnp.ones((32, 32))
+
+    @jax.jit
+    def f(x):
+        def body(c, _):
+            return c @ w, None
+        out, _ = jax.lax.scan(body, x, None, length=5)
+        return out
+
+    x = jnp.ones((4, 32))
+    # 5 scan iterations x [4,32]x[32,32] matmuls
+    assert jaxpr_flops(f, x) == 5 * 2 * 4 * 32 * 32
