@@ -235,6 +235,10 @@ def main():
     t0 = time.time()
     field = recon.evaluate_field(l_feats, g_feats, calib, resolution)
     t_field = time.time() - t0            # device eval + sparse transfer
+    # capture the HEADLINE subject's octree diagnostics NOW — the
+    # multi-subject section below runs random-noise images whose fields
+    # escalate far harder, and last_grid_diag is overwritten per call
+    grid_diag = dict(recon.last_grid_diag or {})
     # query points actually evaluated inside the jitted evaluator(s),
     # computed from the path taken (three- vs two-level octree) with the
     # same chunk paddings the kernels use — including any auto-escalated
@@ -368,7 +372,7 @@ def main():
         "ply_median_s": round(float(np.median(ply_times)), 4),
         "serving_secs_per_mesh": round(serving_secs, 4),
         "serving_median_s": round(float(np.median(serving_times)), 4),
-        "grid_diag": recon.last_grid_diag,
+        "grid_diag": grid_diag,
         "encode_s": round(t_enc, 4),
         "field_eval_and_transfer_s": round(t_field, 4),
         "sparse_marching_s": round(t_march, 4),

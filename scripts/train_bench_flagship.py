@@ -172,7 +172,14 @@ def _load_stage(path, tag):
         if os.path.exists(path) and os.path.exists(path + ".tag"):
             with open(path + ".tag") as f:
                 if f.read() == tag:
-                    return _push_f32(ckpt.load_checkpoint(path)["params"])
+                    print(f"[stage] loading resume point "
+                          f"{os.path.basename(path)} "
+                          f"({os.path.getsize(path) / 1e6:.0f} MB upload)",
+                          flush=True)
+                    out = _push_f32(ckpt.load_checkpoint(path)["params"])
+                    print(f"[stage] loaded {os.path.basename(path)}",
+                          flush=True)
+                    return out
     except Exception as e:  # noqa: BLE001 — a corrupt resume point (e.g.
         # killed mid-save) must mean "retrain the stage", never a crash
         print(f"[stage] ignoring unreadable resume point {path}: {e}",
@@ -340,7 +347,8 @@ def train_flagship(dataroot: str, out_dir: str, steps_nml: int = 300,
                     log(net_name, i, steps_nml, float(m["loss"]))
             nml_params[net_name] = params["params"]
             _save_stage(net_path, nml_params[net_name], opt, tag)
-        _save_stage(stage1_path, nml_params, opt, tag)
+        # no combined stage-1 save: the per-net files cover resume and a
+        # second 730 MB pull would double the stage's tunnel cost
 
     # Per-step host->device traffic must stay tiny: the tunnel link runs
     # ~16 MB/s, so images are uploaded ONCE per subject and stay device-
@@ -374,13 +382,13 @@ def train_flagship(dataroot: str, out_dir: str, steps_nml: int = 300,
         ds.b_min, np.float64)
     n_far = int(round(far_boost * opt.num_sample_inout))
 
-    def sample_batch(k: int, rng):
+    def sample_batch(k: int, rng, far_mult: int = 1):
         v, fc, tester, *_ = geom[k]
         s, lbl = sample_occupancy_points(
             v, fc, opt.num_sample_inout, ds.b_min, ds.b_max, rng,
             sigma=opt.sigma, tester=tester)
         if n_far:
-            u = (rng.uniform(size=(n_far, 3)) * box_len
+            u = (rng.uniform(size=(n_far * far_mult, 3)) * box_len
                  + ds.b_min).astype(np.float32)
             ul = tester.contains(u)[:, None].astype(np.float32)
             s = np.concatenate([s, u])
@@ -428,17 +436,31 @@ def train_flagship(dataroot: str, out_dir: str, steps_nml: int = 300,
         extra = 0
         print(f"[sharpen] ambiguous cells after {steps_coarse} steps: "
               f"{n_amb} (target <= {sharpen_target})", flush=True)
+        if n_amb > sharpen_target:
+            # extension slabs anneal: adam at the training lr bounces on
+            # its noise floor (measured 56k -> 59k -> 53k ambiguous over
+            # two same-lr slabs); fresh moments at lr/10 settle the far
+            # field instead of re-stirring it
+            tx_s = make_optimizer(opt_name, lr * 0.1)
+            g_state = tx_s.init(g_vars["params"])
+            g_step = jax.jit(make_coarse_train_step(coarse, tx_s,
+                                                    gamma=0.5),
+                             donate_argnums=(0, 1))
         while n_amb > sharpen_target and extra < sharpen_max_steps:
             for j in range(400):
                 k = (steps_coarse + extra + j) % n_items
-                s, lbl = sample_batch(k, rng_coarse)
+                # 3x far supervision: the slabs exist to pin FAR space,
+                # and extra uniform labeled points are nearly free next
+                # to the encoder pass
+                s, lbl = sample_batch(k, rng_coarse, far_mult=3)
                 batch = {"images": img_g[k], "points": s[None],
                          "calibs": calib_g[k], "labels": lbl[None]}
                 g_vars, g_state, m = g_step(g_vars, g_state, batch)
             extra += 400
             n_amb = _coarse_ambiguity(coarse, g_vars, img_g[k_cap],
                                       cap_calib)
-            print(f"[sharpen] +{extra} steps: loss={float(m['loss']):.4f} "
+            print(f"[sharpen] +{extra} steps (lr/10, far x3): "
+                  f"loss={float(m['loss']):.4f} "
                   f"ambiguous cells={n_amb}", flush=True)
         g_state = None  # free the coarse moments before stage 3 allocates
         _save_stage(stage2_path, g_vars, opt, tag)
@@ -490,6 +512,22 @@ def train_flagship(dataroot: str, out_dir: str, steps_nml: int = 300,
                                     crop_batch(i % n_items, i))
         if i % log_every == 0 or i + 1 == steps_fine:
             log("fine", i, steps_fine, float(m["loss"]))
+
+    # annealed tail: adam at constant lr leaves the fine field's
+    # ambiguous shell thick (same noise-floor behavior measured on the
+    # coarse stage); 400 steps at lr/10 with fresh moments settle it,
+    # which directly shrinks the octree's active-subcell count and the
+    # marching workload
+    tx_fa = optax.masked(make_optimizer(opt_name, lr * 0.1),
+                         {k: k != "netG" for k in f_params})
+    f_state = tx_fa.init(f_vars["params"])
+    f_step_a = jax.jit(make_fine_train_step(model, tx_fa),
+                       donate_argnums=(0, 1))
+    for i in range(400):
+        f_vars, f_state, m = f_step_a(f_vars, f_state,
+                                      crop_batch(i % n_items, i))
+        if i % log_every == 0 or i + 1 == 400:
+            log("fine-anneal", i, 400, float(m["loss"]))
 
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "ckpt")
