@@ -48,6 +48,11 @@ from .marching import (
 from .mesh import save_obj_with_color, keep_largest_component
 
 
+def _round_up(x: int, q: int) -> int:
+    """Smallest multiple of ``q`` >= ``x`` (budget right-sizing quantum)."""
+    return -(-x // q) * q
+
+
 def _quantize_colors(vals: jax.Array) -> jax.Array:
     """[-1, 1] -> uint8 ON DEVICE: vertex colors cross the (slow) host link
     as 3 bytes/vert instead of 12.  Max quantization error 1/510 — below
@@ -392,11 +397,13 @@ class Reconstructor:
 
         Budget auto-escalation (``opt.auto_escalate_budget``, default on):
         when the refinement budget under-covers the active surface, the
-        evaluation RE-RUNS with the budget doubled until it covers (the
-        reference's threshold octree never under-refines).  Doubling keeps
-        the set of compiled budget sizes logarithmic; the escalated budget
-        is remembered per resolution, so only the first under-budgeted
-        subject pays the extra evaluation + compile.
+        evaluation RE-RUNS with the budget RIGHT-SIZED to the measured
+        active count (+5% headroom, rounded to a 4096/8192 chunk quantum
+        — doubling previously snapped 82k active subcells to a 131k
+        budget and paid ~60% padded eval/transfer/marching for nothing;
+        the reference's threshold octree never under-refines).  The
+        escalated budget is remembered per resolution, so only the first
+        under-budgeted subject pays the extra evaluation + compile.
         """
         calib_inv = jnp.linalg.inv(calib)
         n = resolution // 8
@@ -434,19 +441,25 @@ class Reconstructor:
                     0, d["n_active_subcells"] - d["budget_subcells"])
                 if not auto:
                     break
+                # right-size to the MEASURED active count (+5% headroom,
+                # rounded to a chunk quantum) instead of doubling:
+                # doubling snapped 82k active subcells to a 131k budget
+                # and paid 60% padded eval/transfer/marching for nothing.
+                # Coverage is identical — top-K with K >= n_active
+                # refines every active cell — and the quantum keeps the
+                # set of compiled shapes small.
                 grew = False
-                while d["overflow_cells"] > 0 and budget < n ** 3:
-                    budget = min(budget * 2, n ** 3)
+                if d["overflow_cells"] > 0 and budget < n ** 3:
+                    budget = min(_round_up(int(d["n_active"] * 1.05),
+                                           4096), n ** 3)
                     grew = True
-                    if budget > d["n_active"]:
-                        break
                 cap = budget * 8
-                while (d.get("overflow_subcells", 0) > 0
-                       and sub_budget < cap):
-                    sub_budget = min(sub_budget * 2, cap)
+                if (d.get("overflow_subcells", 0) > 0
+                        and sub_budget < cap):
+                    sub_budget = min(
+                        _round_up(int(d["n_active_subcells"] * 1.05),
+                                  8192), cap)
                     grew = True
-                    if sub_budget > d["n_active_subcells"]:
-                        break
                 if not grew:
                     break
                 print(f"[recon] escalating refinement budget: "
@@ -475,10 +488,8 @@ class Reconstructor:
             d = self._diag_host(diag)
             if not (auto and d["overflow_cells"] > 0 and budget < n ** 3):
                 break
-            while d["overflow_cells"] > 0 and budget < n ** 3:
-                budget = min(budget * 2, n ** 3)
-                if budget > d["n_active"]:
-                    break
+            budget = min(_round_up(int(d["n_active"] * 1.05), 4096),
+                         n ** 3)
             print(f"[recon] escalating refinement budget: cells "
                   f"{d['budget_cells']}->{budget} "
                   f"(active: {d['n_active']})")
@@ -746,18 +757,19 @@ class Reconstructor:
                 0, d["n_active_subcells"] - d["budget_subcells"])
             if not auto:
                 break
+            # right-size to the measured active counts (+5% headroom,
+            # chunk-quantum rounded) — see evaluate_field for rationale
             grew = False
-            while d["overflow_cells"] > 0 and budget < n ** 3:
-                budget = min(budget * 2, n ** 3)
+            if d["overflow_cells"] > 0 and budget < n ** 3:
+                budget = min(_round_up(int(d["n_active"] * 1.05), 4096),
+                             n ** 3)
                 grew = True
-                if budget > d["n_active"]:
-                    break
             cap = budget * 8
-            while d["overflow_subcells"] > 0 and sub_budget < cap:
-                sub_budget = min(sub_budget * 2, cap)
+            if d["overflow_subcells"] > 0 and sub_budget < cap:
+                sub_budget = min(
+                    _round_up(int(d["n_active_subcells"] * 1.05), 8192),
+                    cap)
                 grew = True
-                if sub_budget > d["n_active_subcells"]:
-                    break
             if not grew:
                 break
             print(f"[recon] escalating refinement budget: "

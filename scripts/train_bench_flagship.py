@@ -237,7 +237,8 @@ def train_flagship(dataroot: str, out_dir: str, steps_nml: int = 300,
                    opt_name: str = "adam", lr: float = 3e-3,
                    far_boost: float = 2.0, lite: bool = False,
                    sharpen_target: int = 10000,
-                   sharpen_max_steps: int = 2400) -> str:
+                   sharpen_max_steps: int = 0,
+                   fine_anneal_steps: int = 0) -> str:
     """Three-stage flagship training; returns the checkpoint path.
 
     Loss readbacks happen every ``log_every`` steps only — each readback
@@ -436,7 +437,15 @@ def train_flagship(dataroot: str, out_dir: str, steps_nml: int = 300,
         extra = 0
         print(f"[sharpen] ambiguous cells after {steps_coarse} steps: "
               f"{n_amb} (target <= {sharpen_target})", flush=True)
-        if n_amb > sharpen_target:
+        # Extension slabs are MEASURE-ONLY by default (sharpen_max_steps
+        # = 0): measured 2026-08-21, +2400 annealed far-boosted slabs
+        # improved this coarse-lattice count 66k -> 53k while the
+        # EVALUATOR's level-1 full-query activity degraded 17k -> 81k
+        # (4.7x) — the two metrics anti-correlated, and secs/mesh
+        # tracks the evaluator's.  The count is logged as the field-
+        # quality diagnostic; pass sharpen_max_steps > 0 to re-enable
+        # the extension experiment.
+        if n_amb > sharpen_target and sharpen_max_steps > 0:
             # extension slabs anneal: adam at the training lr bounces on
             # its noise floor (measured 56k -> 59k -> 53k ambiguous over
             # two same-lr slabs); fresh moments at lr/10 settle the far
@@ -513,21 +522,22 @@ def train_flagship(dataroot: str, out_dir: str, steps_nml: int = 300,
         if i % log_every == 0 or i + 1 == steps_fine:
             log("fine", i, steps_fine, float(m["loss"]))
 
-    # annealed tail: adam at constant lr leaves the fine field's
-    # ambiguous shell thick (same noise-floor behavior measured on the
-    # coarse stage); 400 steps at lr/10 with fresh moments settle it,
-    # which directly shrinks the octree's active-subcell count and the
-    # marching workload
-    tx_fa = optax.masked(make_optimizer(opt_name, lr * 0.1),
-                         {k: k != "netG" for k in f_params})
-    f_state = tx_fa.init(f_vars["params"])
-    f_step_a = jax.jit(make_fine_train_step(model, tx_fa),
-                       donate_argnums=(0, 1))
-    for i in range(400):
-        f_vars, f_state, m = f_step_a(f_vars, f_state,
-                                      crop_batch(i % n_items, i))
-        if i % log_every == 0 or i + 1 == 400:
-            log("fine-anneal", i, 400, float(m["loss"]))
+    # OPT-IN annealed tail (fine_anneal_steps > 0; default off — it was
+    # part of the checkpoint-B experiment whose evaluator-activity came
+    # out 4.7x worse than the plain recipe's, see the sharpen note):
+    # extra lr/10 steps with fresh moments on the fine stage.
+    if fine_anneal_steps > 0:
+        tx_fa = optax.masked(make_optimizer(opt_name, lr * 0.1),
+                             {k: k != "netG" for k in f_params})
+        f_state = tx_fa.init(f_vars["params"])
+        f_step_a = jax.jit(make_fine_train_step(model, tx_fa),
+                           donate_argnums=(0, 1))
+        for i in range(fine_anneal_steps):
+            f_vars, f_state, m = f_step_a(f_vars, f_state,
+                                          crop_batch(i % n_items, i))
+            if i % log_every == 0 or i + 1 == fine_anneal_steps:
+                log("fine-anneal", i, fine_anneal_steps,
+                    float(m["loss"]))
 
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "ckpt")
